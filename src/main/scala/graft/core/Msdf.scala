@@ -76,8 +76,7 @@ final case class Msdf(
       // one tiny driver-side aggregate over ≤13 columns: countDistinct +
       // first of each candidate — metadata-scale, not data-scale
       val aggs = candidates.flatMap { c =>
-        Seq(countDistinct(when(col(c) =!= "", col(c))).as(s"n_$c"),
-          first(when(col(c) =!= "", col(c)), ignoreNulls = true).as(s"v_$c"))
+        Seq(countDistinct(col(c)).as(s"n_$c"), first(col(c)).as(s"v_$c"))
       }
       val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
       var cur = df

@@ -1,6 +1,8 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import graft.io.SssomTsv
+import graft.ops.MergeReconcile
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -8,20 +10,22 @@ object Drive {
       .config("spark.ui.enabled","false")
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val msdf = SssomTsv.read(spark, "src/test/resources/sssom/basic.tsv")
-    println("ROWS=" + msdf.df.count())
-    msdf.df.select("subject_id","predicate_id","object_id","confidence").show(5, false)
-    println("PREFIX x -> " + msdf.prefixes.expand("x:appendage"))
-    println("META creator_id = " + msdf.metaMap("creator_id").asString)
-    SssomTsv.write(msdf, "/tmp/out_basic.tsv")
-    val back = SssomTsv.read(spark, "/tmp/out_basic.tsv")
-    println("ROUNDTRIP_ROWS=" + back.df.count())
-    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/nohdr.tsv"),
-      "subject_id\tpredicate_id\tobject_id\na:1\tskos:exactMatch\tb:2\n".getBytes)
-    val nh = SssomTsv.read(spark, "/tmp/nohdr.tsv")
-    println("NOHDR_ROWS=" + nh.df.count() + " cols=" + nh.df.columns.mkString(","))
-    try { SssomTsv.read(spark, "/tmp/definitely_missing.tsv"); println("MISSING -> no error!") }
-    catch { case e: Exception => println("MISSING -> " + e.getClass.getSimpleName) }
+    val b3 = SssomTsv.read(spark, "src/test/resources/sssom/basic3.tsv")
+    val b7 = SssomTsv.read(spark, "src/test/resources/sssom/basic7.tsv")
+    val merged = MergeReconcile.merge(Seq(b3, b7), reconcile = true)
+    println("RECONCILED_MERGE_ROWS=" + merged.df.count())
+    merged.df.select("subject_id","predicate_id","predicate_modifier","object_id","confidence","mapping_justification")
+      .orderBy("subject_id","object_id").show(20, false)
+    // write the reconciled set back out as SSSOM TSV (full round trip)
+    SssomTsv.write(merged, "/tmp/merged_reconciled.tsv")
+    println("WROTE /tmp/merged_reconciled.tsv")
+    // probe: merge a set with itself → idempotent row count
+    println("SELF_MERGE=" + MergeReconcile.merge(Seq(b3, b3)).df.count() + " vs " + b3.df.count())
+    // probe: diff of disjoint sets → zero common
+    val d = MergeReconcile.diff(b3.df, SssomTsv.read(spark, "src/test/resources/sssom/basic.tsv").df)
+    println(s"DIFF u1=${d.nUnique1} u2=${d.nUnique2} common=${d.nCommon}")
+    // probe: collapse of empty-filter input
+    println("COLLAPSE_EMPTY=" + MergeReconcile.collapse(b3.df.filter(col("subject_id") === "nope")).count())
     spark.stop()
   }
 }
