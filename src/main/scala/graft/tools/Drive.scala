@@ -2,7 +2,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.io.SssomTsv
-import graft.ops.MergeReconcile
+import graft.ops._
+import graft.graph.Components
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -10,22 +11,28 @@ object Drive {
       .config("spark.ui.enabled","false")
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val b3 = SssomTsv.read(spark, "src/test/resources/sssom/basic3.tsv")
-    val b7 = SssomTsv.read(spark, "src/test/resources/sssom/basic7.tsv")
-    val merged = MergeReconcile.merge(Seq(b3, b7), reconcile = true)
-    println("RECONCILED_MERGE_ROWS=" + merged.df.count())
-    merged.df.select("subject_id","predicate_id","predicate_modifier","object_id","confidence","mapping_justification")
-      .orderBy("subject_id","object_id").show(20, false)
-    // write the reconciled set back out as SSSOM TSV (full round trip)
-    SssomTsv.write(merged, "/tmp/merged_reconciled.tsv")
-    println("WROTE /tmp/merged_reconciled.tsv")
-    // probe: merge a set with itself → idempotent row count
-    println("SELF_MERGE=" + MergeReconcile.merge(Seq(b3, b3)).df.count() + " vs " + b3.df.count())
-    // probe: diff of disjoint sets → zero common
-    val d = MergeReconcile.diff(b3.df, SssomTsv.read(spark, "src/test/resources/sssom/basic.tsv").df)
-    println(s"DIFF u1=${d.nUnique1} u2=${d.nUnique2} common=${d.nCommon}")
-    // probe: collapse of empty-filter input
-    println("COLLAPSE_EMPTY=" + MergeReconcile.collapse(b3.df.filter(col("subject_id") === "nope")).count())
+    val basic = SssomTsv.read(spark, "src/test/resources/sssom/basic.tsv")
+    // clique pipeline: components → summary
+    val sizes = Components.assignComponents(basic.df).groupBy("component").count()
+      .orderBy(desc("count"))
+    println("COMPONENT_SIZES:"); sizes.show(12, false)
+    // triple emission over the reconciled set
+    val triples = TripleEmit.emit(MergeReconcile.filterRedundantRows(basic.df), basic.prefixes)
+    println("TRIPLES=" + triples.count()); triples.show(3, false)
+    // cardinality on its fixture
+    val card = SssomTsv.read(spark, "src/test/resources/sssom/cardinality.sssom.tsv")
+    Cardinality.inferCardinality(card.df.drop("mapping_cardinality"))
+      .select("subject_id","object_id","mapping_cardinality").show(6, false)
+    // invert + ptable
+    println("INVERTED=" + Invert.invertMappings(basic.df, mergeInverted=false).count())
+    Ptable.toPtable(basic.df).show(3, false)
+    // probe: components on an empty frame
+    println("EMPTY_CC=" + Components.assignComponents(basic.df.filter(lit(false))).count())
+    // probe: inversion with a predicate not in the invert map only
+    val sub = basic.df.filter(col("predicate_id") === "rdfs:subClassOf")
+    println("SUBCLASS_INVERT(no-op rows kept)=" + Invert.invertMappings(sub, mergeInverted=false).count() + " of " + sub.count())
+    // probe: triple emission when object_id column missing entirely
+    println("NO_OBJ_TRIPLES=" + TripleEmit.emit(basic.df.drop("object_id"), basic.prefixes).count())
     spark.stop()
   }
 }
