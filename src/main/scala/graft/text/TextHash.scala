@@ -1,0 +1,170 @@
+package graft.text
+
+/** Deterministic text/vector hashing kernels used by the dedup and
+  * similarity operators. Plain JVM loops (JIT-compiled) registered as
+  * Scala UDFs: for these kernels the arithmetic IS the work — a tight
+  * loop beats Catalyst's interpreted higher-order functions by ~100×,
+  * and the surrounding plan (joins, filters, windows) stays declarative.
+  * All functions are pure and stable across JVMs (FNV-1a + a fixed
+  * finalizer), so results are reproducible at any parallelism.
+  */
+object TextHash extends Serializable {
+
+  def tokens(text: String): Array[String] =
+    if (text == null) Array.empty
+    else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+
+  /** FNV-1a 64-bit. */
+  def fnv(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit mix (splitmix64 finalizer) for per-permutation rehash. */
+  def mix(h0: Long, p: Long): Long = {
+    var x = h0 + (p + 1L) * 0x9E3779B97F4A7C15L
+    x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+    x ^= x >>> 27; x *= 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Distinct word-shingle hashes of length k. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val t = tokens(text)
+    if (t.isEmpty) return Array.empty
+    val n = math.max(t.length - k + 1, 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      val end = math.min(i + k, t.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(t(j)); j += 1
+      }
+      out(i) = fnv(sb.toString); i += 1
+    }
+    out.distinct
+  }
+
+  /** MinHash signature over word shingles. */
+  def minhash(text: String, perms: Int, k: Int): Array[Long] = {
+    val hs = shingleHashes(text, k)
+    Array.tabulate(perms) { p =>
+      if (hs.isEmpty) Long.MaxValue
+      else {
+        var m = Long.MaxValue; var i = 0
+        while (i < hs.length) {
+          val v = mix(hs(i), p); if (v < m) m = v; i += 1
+        }
+        m
+      }
+    }
+  }
+
+  /** Shingle-set Jaccard similarity. */
+  def jaccardShingles(a: String, b: String, k: Int): Double = {
+    val sa = shingleHashes(a, k).toSet
+    val sb = shingleHashes(b, k).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else (sa & sb).size.toDouble / (sa | sb).size
+  }
+
+  /** 64-bit SimHash over token hashes. */
+  def simhash64(text: String): Long = {
+    val t = tokens(text)
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < t.length) {
+      val h = fnv(t(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Sign-random-projection signature of a float vector: bit j = sign of
+    * the dot product with a pseudo-hyperplane whose ±1 weights come from
+    * mix(seed·j, dim index).
+    */
+  def srpSignature(vec: Seq[Float], bits: Int, seed: Long): Long = {
+    var sig = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0; var i = 0
+      val it = vec.iterator
+      while (it.hasNext) {
+        val v = it.next()
+        val w = if ((mix(seed * 1315423911L + j, i) & 1L) == 0L) 1.0 else -1.0
+        dot += v * w; i += 1
+      }
+      if (dot > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  /** Distinct character-trigram hashes. */
+  def charTrigramHashes(s: String): Array[Long] = {
+    if (s == null || s.length < 3) return Array.empty
+    val out = new Array[Long](s.length - 2)
+    var i = 0
+    while (i < s.length - 2) { out(i) = fnv(s.substring(i, i + 3)); i += 1 }
+    out.distinct
+  }
+
+  /** Per-band LSH key over character trigrams: each band combines
+    * `rowsPerBand` independent min-hashes, so a band collision has
+    * probability ~ jaccard^rowsPerBand — keeps hot buckets from flooding
+    * with low-similarity candidates at corpus scale.
+    */
+  def charBandSignature(s: String, bands: Int, rowsPerBand: Int = 2): Array[Long] = {
+    val hs = charTrigramHashes(s)
+    Array.tabulate(bands) { b =>
+      if (hs.isEmpty) Long.MaxValue
+      else {
+        var combined = 0L
+        var r = 0
+        while (r < rowsPerBand) {
+          var m = Long.MaxValue; var i = 0
+          val perm = b * rowsPerBand + r
+          while (i < hs.length) {
+            val v = mix(hs(i), perm); if (v < m) m = v; i += 1
+          }
+          combined = combined * 0x100000001b3L + m
+          r += 1
+        }
+        combined
+      }
+    }
+  }
+
+  /** Character-trigram Jaccard similarity. */
+  def charTrigramJaccard(a: String, b: String): Double = {
+    val sa = charTrigramHashes(a).toSet
+    val sb = charTrigramHashes(b).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else if (sa.isEmpty || sb.isEmpty) 0.0
+    else (sa & sb).size.toDouble / (sa | sb).size
+  }
+
+  /** Cosine similarity of two float vectors. */
+  def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val ia = a.iterator; val ib = b.iterator
+    while (ia.hasNext && ib.hasNext) {
+      val x = ia.next().toDouble; val y = ib.next().toDouble
+      dot += x * y; na += x * x; nb += y * y
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}

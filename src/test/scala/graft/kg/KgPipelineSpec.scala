@@ -1,0 +1,89 @@
+package graft.kg
+
+import graft.SparkSpec
+import graft.core.Schema
+import org.apache.spark.sql.functions._
+
+class KgPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val cfg = KgPipeline.Config(
+    outDir = java.nio.file.Files.createTempDirectory("kg").toString,
+    nConv = 200L, turnsPerConv = 6, nConcepts = 100L, buckets = 8,
+    resumeGroups = 4)
+
+  test("synthetic transcripts are deterministic and correctly shaped") {
+    val t1 = Synthetic.transcripts(spark, 50, 4, 100)
+    val t2 = Synthetic.transcripts(spark, 50, 4, 100)
+    assert(t1.count() == 200)
+    assert(t1.exceptAll(t2).count() == 0)
+    assert(t1.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq("conv_id" -> "string", "turn_idx" -> "integer", "role" -> "string",
+        "text" -> "string", "tool" -> "string", "ts" -> "timestamp"))
+    // per-turn text equality under stable (conv_id, turn_idx) ordering:
+    // regenerating and re-sorting yields the same text sequence
+    val s1 = t1.orderBy("conv_id", "turn_idx").select("text").collect()
+    val s2 = t2.orderBy("conv_id", "turn_idx").select("text").collect()
+    assert(s1.sameElements(s2))
+  }
+
+  test("mention detection finds embedded dictionary surfaces") {
+    val t = Synthetic.transcripts(spark, 100, 4, 50)
+    val d = Synthetic.dictionary(spark, 50)
+    val mentions = Linker.detectMentions(t)
+    val surfaces = d.select(Linker.normalize(col("label")).as("m")).distinct()
+    val hits = mentions.join(surfaces,
+      mentions("mention") === surfaces("m"), "left_semi")
+    assert(hits.count() > 0)
+  }
+
+  test("exact linking links mentions to the planted concepts") {
+    val t = Synthetic.transcripts(spark, 100, 4, 50)
+    val d = Synthetic.dictionary(spark, 50)
+    val links = Linker.linkExact(Linker.detectMentions(t), d)
+    assert(links.count() > 0)
+    // label hits are exactMatch at 0.95
+    assert(links.filter(col("predicate_id") === "skos:exactMatch" &&
+      col("confidence") === 0.95).count() > 0)
+  }
+
+  test("pipeline end-to-end: triples emitted, components labeled, output written") {
+    val r = KgPipeline.run(spark, cfg)
+    assert(r.triples > 0)
+    assert(r.components > 0 && r.components <= r.nodes)
+    assert(r.groupsRun == 4 && r.groupsSkipped == 0)
+    val edges = spark.read.parquet(s"${cfg.outDir}/edges/group=0")
+    assert(edges.columns.toSet ==
+      Set("subject_id", "predicate_id", "object_id", "component", "bucket"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(cfg.outDir, "_manifest.json")))
+  }
+
+  test("resume skips completed groups via the ledger") {
+    // second run over the same outDir: all groups complete → all skipped
+    val r2 = KgPipeline.run(spark, cfg)
+    assert(r2.groupsRun == 0 && r2.groupsSkipped == 4)
+  }
+
+  test("mapping rows are valid SSSOM: reconcile and emit compose") {
+    val mappings = KgPipeline.extractMappings(spark,
+      cfg.copy(nConv = 50L))
+    assert(mappings.columns.contains(Schema.SubjectId))
+    val graph = KgPipeline.buildGraph(mappings)
+    // every edge got a component label
+    assert(graph.filter(col("component").isNull).count() == 0)
+    // exactMatch subject and object of the same link share a component
+    // (both endpoints of an exactMatch edge must canonicalize together)
+    val exact = graph.filter(col(Schema.PredicateId) === "skos:exactMatch")
+    val labels = exact.select(col(Schema.SubjectId).as("node"),
+      col("component"))
+    val objSide = exact.select(col(Schema.ObjectId).as("node"))
+      .join(labels, "node")
+    // object appearing as a subject elsewhere keeps the same component
+    val conflict = exact.select(col(Schema.ObjectId).as("node"),
+        col("component").as("c1"))
+      .join(labels.withColumnRenamed("component", "c2"), "node")
+      .filter(col("c1") =!= col("c2"))
+    assert(conflict.count() == 0)
+  }
+}
