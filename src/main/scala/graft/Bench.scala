@@ -47,7 +47,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "6000").toLong
+    val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "12000").toLong
 
     // --- headline query timings at the driver-requested parallelism ---
     val spark = session(cpus)
@@ -63,14 +63,25 @@ object Bench {
     spark.stop()
 
     // --- scaling: same job, two parallelism levels (N=2, 4N=8) ---
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val sN = session(2)
-    val (triplesN, secN) = kgRun(sN, scale)
-    sN.stop()
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val s4N = session(8)
-    val (triples4N, sec4N) = kgRun(s4N, scale)
-    s4N.stop()
+    // This sandbox is a Firecracker microVM with visible CPU steal, so a
+    // single wall-clock sample is unreliable. Protocol: per level, one
+    // small warmup (codegen/classloading), then interleaved measured runs
+    // (N, 4N, N, 4N) taking the MIN per level — the min approximates the
+    // un-stolen capacity at that parallelism.
+    def runOnce(threads: Int, warm: Boolean): (Long, Double) = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val s = session(threads)
+      if (warm) kgRun(s, scale / 8)
+      val r = kgRun(s, scale)
+      s.stop()
+      r
+    }
+    val n1 = runOnce(2, warm = true)
+    val f1 = runOnce(8, warm = true)
+    val n2 = runOnce(2, warm = false)
+    val f2 = runOnce(8, warm = false)
+    val (triplesN, secN) = if (n1._2 <= n2._2) n1 else n2
+    val (triples4N, sec4N) = if (f1._2 <= f2._2) f1 else f2
 
     val thrN = triplesN / secN
     val thr4N = triples4N / sec4N

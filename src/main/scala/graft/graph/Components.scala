@@ -64,15 +64,19 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate labels flowing along edges
-      val nbr = und.join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("comp"))
-      val updated = labels.union(nbr)
-        .groupBy("node").agg(min("comp").as("comp"))
+      // min neighbor label per node, folded with the old label so the
+      // change flag rides the same materialization (one shuffle + one
+      // cheap scan per round, not two join jobs)
+      val nbrMin = und.join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min("comp").as("nbr_comp"))
+        .withColumnRenamed("dst", "node")
+      val updated = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
         .localCheckpoint(true)
-      val changes = updated.join(labels.withColumnRenamed("comp", "old"),
-        Seq("node")).filter(col("comp") =!= col("old")).count()
-      labels = updated
+      val changes = updated.filter(col("changed")).count()
+      labels = updated.drop("changed")
       converged = changes == 0
       iter += 1
     }
@@ -94,15 +98,21 @@ object Components {
       if (assumeUndirected) edges
       else edges.intersect(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-    val allNodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .union(df.select(col(SubjectId).as("node")))
-      .union(df.select(col(ObjectId).as("node")))
-      .distinct()
     val cc = connectedComponents(reciprocal)
-    var labels = allNodes.join(cc, Seq("node"), "left")
-      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
-      .localCheckpoint(true)
+    // in the undirected case every node of df IS an edge endpoint, so the
+    // CC labels are already complete — skip the widening join
+    var labels =
+      if (assumeUndirected) cc
+      else {
+        val allNodes = edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node")))
+          .union(df.select(col(SubjectId).as("node")))
+          .union(df.select(col(ObjectId).as("node")))
+          .distinct()
+        allNodes.join(cc, Seq("node"), "left")
+          .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
+          .localCheckpoint(true)
+      }
 
     // component-level condensation: merge components linked by a directed
     // 2-cycle (u→v and v→u across components); iterate to a fixpoint

@@ -51,6 +51,9 @@ object KgPipeline {
     val transcripts = Synthetic.transcripts(spark, cfg.nConv, cfg.turnsPerConv,
       cfg.nConcepts, cfg.seed)
     val dict = Synthetic.dictionary(spark, cfg.nConcepts, cfg.seed)
+    // mentions feed both link branches; recomputing the cheap explode in
+    // each branch beats an extra materialization job (the expensive band
+    // signatures live only in the fuzzy branch)
     val mentions = Linker.detectMentions(transcripts)
     val exact = Linker.linkExact(mentions, dict)
     val fuzzy = Linker.linkFuzzy(mentions, dict)

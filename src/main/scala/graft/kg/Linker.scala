@@ -90,15 +90,18 @@ object Linker {
       .filter(col("mention").contains(" ") && length(col("mention")) >= 7)
     val dictSurf = dictionary.select(col("concept_id"),
       normalize(col("label")).as("surface"))
+    // compute the full signature array ONCE per row, then explode to
+    // (band, sig) pairs — signatures before the explode, or every band row
+    // recomputes all bands
     val dictBands = dictSurf
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("sig", element_at(bandSignatures(col("surface"), bands),
-        col("band") + 1))
+      .withColumn("sigs", bandSignatures(col("surface"), bands))
+      .select(col("concept_id"), col("surface"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
 
     val mentionBands = fuzzyMentions
-      .withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
-      .withColumn("sig", element_at(bandSignatures(col("mention"), bands),
-        col("band") + 1))
+      .withColumn("sigs", bandSignatures(col("mention"), bands))
+      .select(col("conv_id"), col("turn_idx"), col("mention"),
+        posexplode(col("sigs")).as(Seq("band", "sig")))
 
     val jac = udf((a: String, b: String) => TextHash.charTrigramJaccard(a, b))
     mentionBands.join(dictBands, Seq("band", "sig"))

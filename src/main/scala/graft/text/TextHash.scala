@@ -30,24 +30,27 @@ object TextHash extends Serializable {
     x ^ (x >>> 31)
   }
 
-  /** Distinct word-shingle hashes of length k. */
+  /** Word-shingle hashes of length k (shingle hash = chained mix of the
+    * token hashes — no per-shingle string allocation). May contain
+    * duplicates; min/set consumers handle that.
+    */
   def shingleHashes(text: String, k: Int): Array[Long] = {
     val t = tokens(text)
     if (t.isEmpty) return Array.empty
+    val th = new Array[Long](t.length)
+    var i = 0
+    while (i < t.length) { th(i) = fnv(t(i)); i += 1 }
     val n = math.max(t.length - k + 1, 1)
     val out = new Array[Long](n)
-    var i = 0
+    i = 0
     while (i < n) {
-      val sb = new java.lang.StringBuilder
+      var h = 0xcbf29ce484222325L
       var j = i
       val end = math.min(i + k, t.length)
-      while (j < end) {
-        if (j > i) sb.append(' ')
-        sb.append(t(j)); j += 1
-      }
-      out(i) = fnv(sb.toString); i += 1
+      while (j < end) { h = (h ^ th(j)) * 0x100000001b3L; j += 1 }
+      out(i) = h; i += 1
     }
-    out.distinct
+    out
   }
 
   /** MinHash signature over word shingles. */
@@ -113,13 +116,22 @@ object TextHash extends Serializable {
     sig
   }
 
-  /** Distinct character-trigram hashes. */
+  /** Character-trigram hashes, computed over a sliding window with no
+    * substring allocation. May contain duplicates; min/set consumers
+    * handle that.
+    */
   def charTrigramHashes(s: String): Array[Long] = {
     if (s == null || s.length < 3) return Array.empty
     val out = new Array[Long](s.length - 2)
     var i = 0
-    while (i < s.length - 2) { out(i) = fnv(s.substring(i, i + 3)); i += 1 }
-    out.distinct
+    while (i < s.length - 2) {
+      var h = 0xcbf29ce484222325L
+      h = (h ^ s.charAt(i)) * 0x100000001b3L
+      h = (h ^ s.charAt(i + 1)) * 0x100000001b3L
+      h = (h ^ s.charAt(i + 2)) * 0x100000001b3L
+      out(i) = h; i += 1
+    }
+    out
   }
 
   /** Per-band LSH key over character trigrams: each band combines
