@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL entry points, split, crosstab/correlation and metadata annotation.
+  *
+  * References: `run_sql_query` (src/sssom/io.py:280-325), `split_dataframe`
+  * / `split_dataframe_by_prefix` (src/sssom/parsers.py:1003-1122),
+  * crosstab/correlations (src/sssom/cli.py:478-535), `augment_metadata`
+  * (src/sssom/util.py:1668-1702), `enforce_version` (util.py:508-575).
+  */
+object SqlOps {
+  import Schema._
+
+  /** dosql: register each msdf as dfN (and its stem name) and run SQL
+    * through Catalyst (reference run_sql_query).
+    */
+  def dosql(spark: SparkSession, query: String,
+      tables: Map[String, DataFrame]): DataFrame = {
+    var i = 0
+    tables.foreach { case (name, df) =>
+      i += 1
+      df.createOrReplaceTempView(s"df$i")
+      df.createOrReplaceTempView(name)
+    }
+    spark.sql(query)
+  }
+
+  /** Split into sub-sets keyed `{subjPrefix}_{predicateLocal}_{objPrefix}`
+    * (reference split_dataframe_by_prefix; the boolean-mask/posting-list
+    * index machinery is a pandas-ism — one hash aggregation does it here).
+    */
+  def splitKeys(df: DataFrame): DataFrame = {
+    val sp = split(col(SubjectId), ":", 2).getItem(0)
+    val op = split(col(ObjectId), ":", 2).getItem(0)
+    val pl = regexp_replace(col(PredicateId), "^.*:", "")
+    df.withColumn("__split",
+      lower(concat(sp, lit("_"), pl, lit("_"), op)))
+  }
+
+  def splitDataframe(df: DataFrame): Map[String, DataFrame] = {
+    val keyed = splitKeys(df)
+    val keys = keyed.select("__split").distinct()
+      .collect().map(_.getString(0))
+    keys.map(k => k -> keyed.filter(col("__split") === k).drop("__split"))
+      .toMap
+  }
+
+  /** Partitioned split write — the scale path: one shuffle, one pass. */
+  def splitWrite(df: DataFrame, outDir: String): Unit =
+    splitKeys(df).write.mode("overwrite").partitionBy("__split")
+      .parquet(outDir)
+
+  /** Contingency table of two columns, long form (reference cli.py:478-491;
+    * `df.stat.crosstab` pivots, but long form feeds chi² directly and
+    * stays shuffle-bounded for high-cardinality columns).
+    */
+  def crosstab(df: DataFrame, c1: String, c2: String): DataFrame =
+    df.groupBy(col(c1), col(c2)).agg(count(lit(1)).as("n"))
+
+  /** Pearson chi² over the two-column contingency table (reference
+    * cli.py:494-535): expected = row_total·col_total/total, computed with
+    * window sums — no driver-side table required.
+    */
+  def chiSquared(df: DataFrame, c1: String, c2: String): Double = {
+    import org.apache.spark.sql.expressions.Window
+    val ct = crosstab(df, c1, c2)
+    val byRow = Window.partitionBy(col(c1))
+    val byCol = Window.partitionBy(col(c2))
+    val total = Window.partitionBy()
+    val withExp = ct
+      .withColumn("rt", sum("n").over(byRow))
+      .withColumn("ctot", sum("n").over(byCol))
+      .withColumn("t", sum("n").over(total))
+      .withColumn("expected", col("rt") * col("ctot") / col("t"))
+      .withColumn("chi",
+        (col("n") - col("expected")) * (col("n") - col("expected")) /
+          col("expected"))
+    withExp.agg(sum("chi")).collect()(0).getDouble(0)
+  }
+
+  /** Merge user parameters into set metadata; multivalued slots union
+    * (reference augment_metadata / annotate).
+    */
+  def annotate(msdf: Msdf, params: Map[String, Seq[String]],
+      replaceMultivalued: Boolean = false): Msdf = {
+    val updated = params.foldLeft(msdf.meta) { case (meta, (k, vs)) =>
+      val existing = meta.find(_._1 == k)
+      val newVal: MetaValue = existing match {
+        case Some((_, MetaList(old))) if !replaceMultivalued =>
+          MetaList((old ++ vs).distinct)
+        case _ if vs.length > 1 => MetaList(vs.toVector)
+        case _ => MetaString(vs.headOption.getOrElse(""))
+      }
+      meta.filterNot(_._1 == k) :+ (k -> newVal)
+    }
+    msdf.copy(meta = updated)
+  }
+
+  /** Slots introduced after SSSOM 1.0 (subset of the schema's `added_in`
+    * annotations) — dropped when enforcing version 1.0
+    * (reference enforce_version, util.py:508-575).
+    */
+  private val slotsAddedIn11: Set[String] = Set(
+    "predicate_type", "mapping_tool_id", "subject_field", "object_field",
+    "similarity_score", "similarity_measure", "curation_rule",
+    "curation_rule_text", "cardinality_scope", "record_id",
+    "mapping_set_confidence", "publication_date")
+
+  def enforceVersion(msdf: Msdf, version: String = "1.0"): Msdf =
+    if (version != "1.0") msdf
+    else {
+      val drop = msdf.df.columns.filter(slotsAddedIn11.contains)
+      Msdf(msdf.df.drop(drop.toIndexedSeq: _*),
+        msdf.meta.filterNot(kv => slotsAddedIn11.contains(kv._1)),
+        msdf.prefixes)
+    }
+}

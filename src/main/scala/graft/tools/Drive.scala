@@ -1,8 +1,9 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.graph.Components
-import graft.io.SssomTsv
+import graft.core._
+import graft.io.{SssomJson, SssomTsv}
+import graft.ops.{SqlOps, Validators}
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -10,16 +11,22 @@ object Drive {
       .config("spark.ui.enabled","false")
       .config("spark.sql.session.timeZone","UTC").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val j = SssomJson.readJson(spark, "src/test/resources/sssom/basic.json")
+    println("JSON_ROWS=" + j.df.count() + " meta=" + j.metaMap("license").asString)
+    val x = SssomJson.readAlignmentXml(spark, "src/test/resources/sssom/oaei-ordo-hp.rdf",
+      PrefixMap.builtIn.chain(PrefixMap(Vector("Orphanet" -> "http://www.orpha.net/ORDO/Orphanet_", "HP" -> "http://purl.obolibrary.org/obo/HP_"))))
+    println("XML_ROWS=" + x.df.count()); x.df.show(3, false)
+    val fhir = SssomJson.toFhirJson(SssomTsv.read(spark, "src/test/resources/sssom/basic3.tsv"))
+    println("FHIR_HEAD=" + fhir.linesIterator.take(6).mkString("~"))
     val basic = SssomTsv.read(spark, "src/test/resources/sssom/basic.tsv")
-    val sizes = Components.assignComponents(basic.df).groupBy("component").count()
-      .orderBy(desc("count")).collect().map(_.getLong(1)).mkString(",")
-    println("SCC_SIZES=" + sizes)
-    // probe: directed 2-cycle merge (a subClassOf b AND b subClassOf a)
-    import spark.implicits._
-    val cyc = Seq(("a:1","rdfs:subClassOf","a:2"),("a:2","rdfs:subClassOf","a:1"),
-                  ("a:3","rdfs:subClassOf","a:4")).toDF("subject_id","predicate_id","object_id")
-    Components.componentLabels(cyc).orderBy("node").collect()
-      .foreach(r => println("CYCLE " + r.getString(0) + " -> " + r.getString(1)))
+    println("VALIDATE=" + Validators.validate(basic))
+    println("CHI2=" + SqlOps.chiSquared(basic.df, "predicate_id", "mapping_justification"))
+    // probes
+    try { SssomJson.readObographs(spark, "src/test/resources/sssom/basic.json", PrefixMap.builtIn); println("OBO_WRONG_FORMAT -> no error!") }
+    catch { case e: Exception => println("OBO_WRONG_FORMAT -> " + e.getClass.getSimpleName + ": " + e.getMessage.take(60)) }
+    val badSql = try { SqlOps.dosql(spark, "SELECT nope FROM df1", Map("t" -> basic.df)); "no error" }
+      catch { case e: Exception => e.getClass.getSimpleName }
+    println("BAD_SQL -> " + badSql)
     spark.stop()
   }
 }
