@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.kg.Synthetic
+import org.apache.spark.sql.functions._
+
+class TranscriptStreamSpec extends SparkSpec {
+
+  test("streaming link ingestion: files in → bucketed SSSOM rows out") {
+    val base = java.nio.file.Files.createTempDirectory("stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    // two file drops = two micro-batches under AvailableNow
+    Synthetic.transcripts(spark, 60, 4, 50)
+      .write.mode("append").parquet(in)
+    Synthetic.transcripts(spark, 60, 4, 50, seed = 43L)
+      .write.mode("append").parquet(in)
+    val dict = Synthetic.dictionary(spark, 50)
+
+    val q = TranscriptStream.linkStream(spark, in, out, dict, cp,
+      availableNow = true)
+    q.awaitTermination(120000)
+
+    val written = spark.read.parquet(s"$out/mappings")
+    assert(written.count() > 0)
+    assert(written.columns.contains("subject_id"))
+    assert(written.select("bucket").distinct().count() > 1)
+  }
+
+  test("windowed turn stats carry watermarked event-time windows") {
+    val base = java.nio.file.Files.createTempDirectory("stream2").toString
+    val in = s"$base/in"
+    Synthetic.transcripts(spark, 40, 4, 50).write.parquet(in)
+    val stats = TranscriptStream.turnStats(
+      TranscriptStream.readTranscriptStream(spark, in))
+    val q = stats.writeStream.format("memory").queryName("turn_stats")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode only emits closed windows; the aggregation itself ran —
+    // check the final state via complete-mode on a fresh query
+    val q2 = TranscriptStream.turnStats(
+      TranscriptStream.readTranscriptStream(spark, in))
+      .writeStream.format("memory").queryName("turn_stats_c")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$base/cp2")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val rows = spark.sql("SELECT * FROM turn_stats_c")
+    assert(rows.count() > 0)
+    assert(rows.columns.contains("window"))
+    assert(rows.filter(col("n_turns") <= 0).count() == 0)
+  }
+}
