@@ -107,10 +107,23 @@ object SssomTsv {
     * row-validity filter; default mapping_justification.
     */
   def read(spark: SparkSession, path: String,
-      extraMeta: Vector[(String, MetaValue)] = Vector.empty): Msdf = {
+      extraMeta: Vector[(String, MetaValue)] = Vector.empty,
+      metaPath: Option[String] = None): Msdf = {
     val sep = inferSeparator(path)
     val headerLines = readHeaderLines(spark, path)
-    val meta0 = parseMetaYaml(headerLines)
+    // external-metadata mode (reference io.py:171-203): a companion YAML
+    // provides set metadata; embedded header slots take priority
+    val externalMeta: Vector[(String, MetaValue)] = metaPath match {
+      case Some(p) =>
+        import scala.jdk.CollectionConverters._
+        parseMetaYaml(java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(p)).asScala.toVector)
+      case None => Vector.empty
+    }
+    val meta0 = {
+      val embedded = parseMetaYaml(headerLines)
+      embedded ++ externalMeta.filterNot(kv => embedded.exists(_._1 == kv._1))
+    }
 
     val curieMap: Vector[(String, String)] = meta0.collectFirst {
       case ("curie_map", MetaMap(m)) => m
