@@ -49,24 +49,31 @@ object Components {
     *
     * @return (node, component) with component = lexicographic min member id.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50,
+      alreadySymmetric: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
-    // undirected view + dedup once up front
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    // undirected view + dedup once up front (skip the reverse union when
+    // the caller guarantees symmetric input — e.g. equivalence edges)
+    val und0 =
+      if (alreadySymmetric) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val und = und0.distinct().localCheckpoint(true)
 
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // round 1 fused into initialization: label = min(self, direct
+    // neighbors) — one job instead of init-checkpoint + first iteration
+    var labels = und
+      .groupBy(col("src").as("node"))
+      .agg(least(min(col("dst")), first(col("src"))).as("comp"))
       .localCheckpoint(true)
 
     var converged = false
-    var iter = 0
+    var iter = 1
     while (!converged && iter < maxIter) {
-      // min neighbor label per node, folded with the old label so the
-      // change flag rides the same materialization (one shuffle + one
-      // cheap scan per round, not two join jobs)
+      // min neighbor label per node, folded with the old label; the
+      // convergence count rides the SAME materialization job via
+      // Dataset.observe — one Spark job per round total
+      val obs = org.apache.spark.sql.Observation(s"cc_$iter")
       val nbrMin = und.join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(min("comp").as("nbr_comp"))
         .withColumnRenamed("dst", "node")
@@ -74,8 +81,13 @@ object Components {
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
           (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("changed"))
+        .observe(obs, sum(col("changed").cast("long")).as("changes"))
         .localCheckpoint(true)
-      val changes = updated.filter(col("changed")).count()
+      val changes = obs.get.get("changes").map {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
+      }.getOrElse(0L)
       labels = updated.drop("changed")
       converged = changes == 0
       iter += 1
@@ -88,7 +100,11 @@ object Components {
     * (their own singleton unless a cycle merges them).
     */
   def componentLabels(df: DataFrame, assumeUndirected: Boolean = false): DataFrame = {
-    val edges = toEdges(df).localCheckpoint(true)
+    // the undirected fast path uses the edges exactly once (CC input), so
+    // the checkpoint would be a pure extra job there
+    val edges =
+      if (assumeUndirected) toEdges(df)
+      else toEdges(df).localCheckpoint(true)
     // seed CC with the undirected (reciprocal) subgraph: a directed edge
     // whose reverse is also present behaves undirected. When the caller
     // guarantees symmetric edges (e.g. exactMatch-only graphs), skip the
@@ -98,7 +114,8 @@ object Components {
       if (assumeUndirected) edges
       else edges.intersect(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-    val cc = connectedComponents(reciprocal)
+    val cc = connectedComponents(reciprocal,
+      alreadySymmetric = assumeUndirected)
     // in the undirected case every node of df IS an edge endpoint, so the
     // CC labels are already complete — skip the widening join
     var labels =

@@ -1,30 +1,27 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.graph.Rewire
-import graft.io.SssomTsv
+import graft.kg._
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions","4")
-      .config("spark.ui.enabled","false")
-      .config("spark.sql.session.timeZone","UTC").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    // rewire an external triple table through basic.tsv equivalences
-    val basic = SssomTsv.read(spark, "src/test/resources/sssom/basic.tsv")
-    val ext = Seq(("x:appendage","rdfs:subClassOf","x:organ"),
-                  ("q:other","rdfs:seeAlso","x:heart")).toDF("subject","predicate","object")
-    try {
-      val (out, n) = Rewire.rewire(ext, basic.df)
-      println("REWIRED n_changed=" + n); out.show(false)
-    } catch { case e: IllegalArgumentException => println("REWIRE_AMBIGUOUS: " + e.getMessage.take(80)) }
-    // with precedence
-    val (out2, n2) = Rewire.rewire(ext, basic.df, precedence = Seq("y","z"))
-    println("REWIRED_PREC n_changed=" + n2); out2.show(false)
-    // external metadata + gz through the public reader
-    val m = SssomTsv.read(spark, "src/test/resources/sssom/basic-meta-external.tsv",
-      metaPath = Some("src/test/resources/sssom/basic-meta-external.yml"))
-    println("EXT_META mapping_set_id=" + m.metaMap("mapping_set_id").asString + " rows=" + m.df.count())
-    spark.stop()
+    def run(label: String, threads: Int, codegen: Boolean, aqe: Boolean): Unit = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder().master(s"local[$threads]")
+        .config("spark.sql.shuffle.partitions", threads.toString)
+        .config("spark.sql.codegen.wholeStage", codegen.toString)
+        .config("spark.sql.adaptive.enabled", aqe.toString)
+        .config("spark.ui.enabled","false")
+        .config("spark.sql.session.timeZone","UTC").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val cfg = KgPipeline.Config(outDir="", nConv=8000L, turnsPerConv=8, nConcepts=2000L)
+      KgPipeline.buildGraph(KgPipeline.extractMappings(spark, cfg.copy(nConv=500L))).count()
+      val t0 = System.nanoTime()
+      val n = KgPipeline.buildGraph(KgPipeline.extractMappings(spark, cfg)).count()
+      println(f"RUN $label threads=$threads codegen=$codegen aqe=$aqe  ${(System.nanoTime()-t0)/1e9}%6.1fs triples=$n")
+      spark.stop()
+    }
+    run("a", 4, true, true)
+    run("b", 4, false, true)
+    run("c", 4, false, false)
+    run("d", 1, false, true)
   }
 }
