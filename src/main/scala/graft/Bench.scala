@@ -52,20 +52,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "8000").toLong
-
-    // --- headline query timings at the driver-requested parallelism ---
-    val spark = session(cpus)
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-    }
-    spark.stop()
+    val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "12000").toLong
 
     // --- scaling: same job, two parallelism levels (N=1, 4N=4) ---
     // Low absolute thread counts on the 32-vCPU guest keep both levels
@@ -122,6 +109,19 @@ object Bench {
     }
     val (triplesN, secN) = ns.minBy(_._2)
     val (triples4N, sec4N) = fs.minBy(_._2)
+
+    // --- headline query timings at the driver-requested parallelism ---
+    val spark = session(cpus)
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    }
+    spark.stop()
 
     val thrN = triplesN / secN
     val thr4N = triples4N / sec4N
