@@ -52,7 +52,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "12000").toLong
+    // Sizing (measured clean-window model: t(threads) = a + b/threads with
+    // a ≈ 6.7 s fixed driver/stage latency, b ≈ 12.3 ms/conv parallel work):
+    // 7000 conv → sec_n ≈ 93, sec_4n ≈ 28, pair ≈ 121 s, so ≥3 interleaved
+    // pairs fit the 420 s budget (round-1 failure mode: one 500 s pair ate
+    // the whole budget) while the parallel fraction is large enough that
+    // the fixed term costs ≤ ~0.15 efficiency.
+    val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "7000").toLong
 
     // --- scaling: same job, two parallelism levels (N=1, 4N=4) ---
     // Low absolute thread counts on the 32-vCPU guest keep both levels
@@ -99,7 +105,9 @@ object Bench {
     val spins = scala.collection.mutable.ArrayBuffer.empty[Double]
     var pair = 0
     var lastPairCost = 0.0
-    while (pair < 4 && (pair == 0 || elapsed + lastPairCost < budgetSec)) {
+    // ALWAYS run >= 3 pairs (min-of-1 cannot reject a CPU-steal burst);
+    // keep sampling up to 6 while budget remains
+    while (pair < 6 && (pair < 3 || elapsed + lastPairCost < budgetSec)) {
       val t0 = elapsed
       spins += spinScore()
       fs += runOnce(4, warm = pair == 0)
@@ -139,8 +147,13 @@ object Bench {
       f""""triples_per_sec_n":$thrN%.1f,"triples_per_sec_4n":$thr4N%.1f,""" +
       f""""efficiency":$efficiency%.3f,""" +
       f""""spin_mops":${spins.map(x => f"$x%.1f").mkString("[", ",", "]")}%s,""" +
-      f""""protocol":"interleaved min-of-pairs with per-pair spin probe; sandbox shows bursty CPU steal"}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      s""""queries":$qs,"scaling":$scaling,"sf":"$sfDir"}""")
+      f""""protocol":"interleaved min-of-pairs (>=3 pairs forced) with per-pair spin probe; sandbox shows bursty CPU steal"}"""
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""queries":$qs,"scaling":$scaling,"sf":"$sfDir"}"""
+    // bare line on stdout (build.sbt sets outputStrategy := StdoutOutput so
+    // sbt does not prefix it "[info] ") AND a file copy for the driver
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *  - MinHash + LSH: word-shingle min-hash signatures banded into buckets,
   *    candidate pairs only within buckets (no all-pairs);
   *  - SimHash: 64-bit hyperplane-free simhash from token hashes, near-dup
-  *    when Hamming distance ≤ k (banded by 16-bit chunks);
+  *    when Hamming distance ≤ k (banded into k+1 chunks — pigeonhole
+  *    guarantees full recall at the requested distance);
   *  - n-gram Jaccard: verification metric on candidate pairs;
   *  - embedding cosine: see graft.sim.Similarity.
   *
@@ -53,26 +54,38 @@ object Dedup {
     * `perms/bands` rows; docs sharing any band bucket become candidates;
     * verified by shingle Jaccard ≥ `threshold`. Returns (doc_a, doc_b,
     * jaccard) with doc_a < doc_b.
+    *
+    * Scale shape: the ×bands explode and the bucket self-join carry ONLY
+    * (band, bucket, doc_id) — never the text. At corpus scale shuffling
+    * the text through 8 band replicas would move the whole corpus 8×;
+    * instead the (rare) surviving candidate pairs semi-join the text back
+    * for the exact-Jaccard verification.
     */
   def minhashNearDups(documents: DataFrame, perms: Int = 32, bands: Int = 8,
       k: Int = 3, threshold: Double = 0.7): DataFrame = {
-    val rows = bands match { case b => perms / b }
-    val sigs = documents.select(col("doc_id"), col("text"),
+    val rows = perms / bands
+    val sigs = documents.select(col("doc_id"),
       minhashSignature(col("text"), perms, k).as("sig"))
     val banded = sigs.withColumn("band",
       explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket",
         xxhash64(col("band"),
           array_join(slice(col("sig"), col("band") * rows + 1, lit(rows)), ",")))
-      .select(col("doc_id"), col("text"), col("band"), col("bucket"))
+      .select(col("doc_id"), col("band"), col("bucket"))
 
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("text").as("text_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("text").as("text_b"))
-    a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+
+    val texts = documents.select(col("doc_id"), col("text"))
+    pairs
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        Seq("doc_b"))
       .withColumn("jaccard", jaccardUdf(k)(col("text_a"), col("text_b")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
@@ -97,17 +110,31 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b)).cast("long")
 
-  /** SimHash near-dups: band the 64-bit hash into 4×16-bit chunks; a pair
-    * within Hamming distance ≤3 shares at least one chunk exactly
-    * (pigeonhole), so the join is equi-key, never all-pairs.
+  /** SimHash near-dups: band the 64-bit hash into `maxHamming + 1` chunks
+    * (widths as even as possible); by pigeonhole a pair within Hamming
+    * distance ≤ maxHamming differs in at most maxHamming chunks, so it
+    * shares at least one chunk EXACTLY — full recall with an equi-key
+    * join, never all-pairs. Only (chunk, chunk_val, doc_id, sig) rides
+    * the explode; the Hamming verify needs no text.
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val withSig = documents.select(col("doc_id"), col("text"),
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i =>
+      64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val chunkVals = array((0 until nChunks).map { i =>
+      val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1L
+      call_function("shiftrightunsigned", col("sig"), lit(offsets(i)))
+        .bitwiseAND(lit(mask))
+    }: _*)
+
+    val withSig = documents.select(col("doc_id"),
       simhash(col("text")).as("sig"))
-    val chunked = withSig.withColumn("chunk",
-      explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk_val",
-        call_function("shiftright", col("sig"), col("chunk") * 16).bitwiseAND(0xFFFFL))
+    val chunked = withSig
+      .select(col("doc_id"), col("sig"),
+        posexplode(chunkVals).as(Seq("chunk", "chunk_val")))
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"),

@@ -21,9 +21,10 @@ import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
   * carrying the schema, partition list and per-partition counts — the table
   * contract the north rule exercises.
   *
-  * Scale notes: the dictionary side of both joins is broadcast; mention
-  * keys carry an explicit salt for hot head-entities; AQE handles residual
-  * skew; the CC loop localCheckpoints per round; buckets are processed in
+  * Scale notes: the dictionary side of both joins is broadcast (no shuffle
+  * on the mention side); hot head-entity keys are absorbed by map-side
+  * partial aggregation + AQE skew-join in the reconcile; the CC loop
+  * localCheckpoints per round; buckets are processed in
   * `resumeGroups` independent jobs so a restart skips completed groups via
   * the ledger.
   */

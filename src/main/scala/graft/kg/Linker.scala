@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   *  1. mention detection: per-turn tokenization → sliding n-gram spans
   *     (`flatMap`-shaped via explode over a token-index range) under stable
   *     (conv_id, turn_idx) ordering;
-  *  2. exact linking: **salted broadcast join** of mentions against the
-  *     (small) dictionary on the normalized surface form — broadcast keeps
-  *     the mention side shuffle-free; the salt column keeps downstream
-  *     aggregations on hot (head-entity) keys balanced;
+  *  2. exact linking: broadcast join of mentions against the (small)
+  *     dictionary on the normalized surface form — broadcast keeps the
+  *     mention side shuffle-free, so hot (head-entity) surface forms never
+  *     concentrate on one task here; downstream hot-key aggregation is
+  *     handled by map-side partial aggregation + AQE skew-join in the
+  *     reconcile step (MergeReconcile.filterRedundantRows), not by salting;
   *  3. fuzzy linking: MinHash-style LSH blocking — character-3-gram min
   *     hashes per band on both sides, equi-join on (band, signature),
   *     verified by exact trigram-Jaccard ≥ threshold.
@@ -25,8 +27,6 @@ import org.apache.spark.sql.functions._
   * mapping_justification = semapv:LexicalMatching, confidence).
   */
 object Linker {
-
-  val SaltBuckets = 16
 
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), "[^a-z0-9 ]", "")
@@ -69,19 +69,15 @@ object Linker {
       .select(col("concept_id"), col("e.surface"), col("e.isLabel"))
 
     mentions
-      .withColumn("salt", pmod(xxhash64(col("conv_id"), col("turn_idx"),
-        col("start")), lit(SaltBuckets)))
       .join(broadcast(dict), col("mention") === col("surface"))
-      .select(col("conv_id"), col("turn_idx"), col("mention"), col("salt"),
+      .select(col("conv_id"), col("turn_idx"), col("mention"),
         col("concept_id"),
         when(col("isLabel"), lit(Schema.SkosExactMatch))
           .otherwise(lit(Schema.SkosCloseMatch)).as("predicate_id"),
         when(col("isLabel"), lit(0.95)).otherwise(lit(0.85)).as("confidence"))
   }
 
-  /** Fuzzy link via LSH banding + trigram-Jaccard verification. Dictionary
-    * band rows are replicated `SaltBuckets` ways so hot buckets spread.
-    */
+  /** Fuzzy link via LSH banding + trigram-Jaccard verification. */
   def linkFuzzy(mentions: DataFrame, dictionary: DataFrame, bands: Int = 4,
       jaccardMin: Double = 0.55): DataFrame = {
     // fuzzy linking targets full multi-word surfaces; single short tokens
@@ -109,8 +105,6 @@ object Linker {
       .withColumn("jaccard", jac(col("mention"), col("surface")))
       .filter(col("jaccard") >= jaccardMin && col("mention") =!= col("surface"))
       .select(col("conv_id"), col("turn_idx"), col("mention"),
-        pmod(xxhash64(col("conv_id"), col("turn_idx")), lit(SaltBuckets))
-          .as("salt"),
         col("concept_id"),
         lit(Schema.SkosCloseMatch).as("predicate_id"),
         (col("jaccard") * 0.9).as("confidence"))

@@ -65,7 +65,7 @@ object Synthetic {
     val h = mix(concat(lit(seed), lit("t"), id))
     val conceptIdx = mix(concat(lit(seed), lit("c"), id)) % nConcepts
     // skew: 10% of turns reference one of the 16 "head" concepts — the
-    // pipeline's salted join has real skew to handle
+    // reconcile aggregation has real skew to absorb
     val skewed = (h % 10) === 0
     val mentionConcept = when(skewed, conceptIdx % 16).otherwise(conceptIdx)
 

@@ -69,12 +69,19 @@ object MergeReconcile {
     val key = if (ignorePredicate) Seq(SubjectId, ObjectId)
       else Seq(SubjectId, ObjectId, PredicateId)
 
-    // window-max instead of the reference's collected max-dict
-    val w = Window.partitionBy(key.map(col): _*)
+    // group-max + join-back instead of the reference's collected max-dict.
+    // Deliberately NOT a window: window partitions get no partial
+    // aggregation and AQE never splits them, so one hot (S,O,P) key (10%
+    // head-entity mentions in the KG workload) floods a single task at
+    // scale. groupBy(max) combines map-side and the join-back is an AQE
+    // skew-splittable equi-join — same rows, skew-immune.
+    val maxes = nonNull.groupBy(key.map(col): _*)
+      .agg(max(col(Confidence)).as("__max_conf"))
     val kept = nonNull
-      .withColumn("__max_conf", max(col(Confidence)).over(w))
+      .join(maxes, key)
       .filter(col(Confidence) >= col("__max_conf"))
       .drop("__max_conf")
+      .select(nonNull.columns.map(col).toIndexedSeq: _*)
 
     val confReconciled = kept.unionByName(nanRows).dropDuplicates()
 

@@ -6,14 +6,57 @@ import org.apache.spark.sql.SparkSession
   * .claude/skills/verify/SKILL.md) — edit freely, keep `main` runnable.
   */
 object Drive {
-  def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+  private def session(threads: Int): SparkSession = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master(s"local[$threads]")
+      .appName(s"drive-$threads")
+      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("DRIVE_AQE", "true"))
+      .config("spark.sql.codegen.wholeStage", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    val n = graft.SparkEntry.entry(spark).count()
-    println(s"entry: $n rows")
-    spark.stop()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
+    import graft.kg.KgPipeline
+    import graft.ops.{MergeReconcile, TripleEmit}
+    import graft.core.Schema
+    import org.apache.spark.sql.functions._
+    def profiled(spark: SparkSession): Unit = {
+      val cfg = KgPipeline.Config(outDir = "", nConv = scale,
+        turnsPerConv = 8, nConcepts = 2000L)
+      var t0 = System.nanoTime()
+      def lap(name: String): Unit = {
+        println(f"  $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
+      val m = KgPipeline.extractMappings(spark, cfg).localCheckpoint(true)
+      lap("extract+ckpt")
+      val reconciled = MergeReconcile.filterRedundantRows(m)
+      val triples = TripleEmit.emit(reconciled, KgPipeline.prefixes, expand = false)
+        .withColumnRenamed("subject", Schema.SubjectId)
+        .withColumnRenamed("predicate", Schema.PredicateId)
+        .withColumnRenamed("object", Schema.ObjectId)
+        .localCheckpoint(true)
+      lap("reconcile+emit+ckpt")
+      val exactOnly = triples.filter(col(Schema.PredicateId) === Schema.SkosExactMatch)
+      val labels = graft.graph.Components.componentLabels(exactOnly, assumeUndirected = true)
+      lap("cc")
+      val n = triples
+        .join(labels.withColumnRenamed("node", Schema.SubjectId)
+          .withColumnRenamed("comp", "component"), Seq(Schema.SubjectId), "left")
+        .withColumn("component", coalesce(col("component"), col(Schema.SubjectId)))
+        .count()
+      lap(s"join+count n=$n")
+    }
+    Seq(4, 4, 1).zipWithIndex.foreach { case (th, i) =>
+      val s = session(th)
+      println(s"threads=$th warm=${i == 0}")
+      profiled(s)
+      s.stop()
+    }
   }
 }

@@ -1,0 +1,85 @@
+package graft.dedup
+
+import graft.SparkSpec
+import graft.text.TextHash
+import org.apache.spark.sql.functions._
+
+/** Dedup-operator specs. The LSH variants are verified against brute
+  * force: simhash banding guarantees FULL recall at the requested Hamming
+  * distance (pigeonhole over maxHamming+1 chunks), so its output must
+  * EQUAL the all-pairs result; minhash banding is probabilistic, so its
+  * output must be a subset of the all-pairs result with every planted
+  * near-dup found.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic corpus: 30 base docs + mutated near-copies + exact copies
+  private lazy val docs: Seq[(Long, String)] = {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron")
+    def base(i: Int): String =
+      (0 until 40).map(j => words((TextHash.mix(i.toLong, j.toLong) % 15).toInt.abs)).mkString(" ")
+    val originals = (0 until 30).map(i => (i.toLong, base(i)))
+    val nearCopies = (0 until 10).map { i =>
+      val toks = base(i).split(" ").toVector
+      // mutate one token -> shingle Jaccard ≈ 0.86, so each of the 8
+      // four-row bands collides w.p. ≈ 0.55 and a pair is missed w.p.
+      // ≈ 0.4^8 ≈ 1e-3 — deterministic seeds make this a stable test
+      val mutated = toks.updated(20, "changed").mkString(" ")
+      (100L + i, mutated)
+    }
+    val exactCopies = (0 until 5).map(i => (200L + i, base(i)))
+    originals ++ nearCopies ++ exactCopies
+  }
+
+  private lazy val docsDf = docs.toDF("doc_id", "text")
+
+  test("exact dedup groups exact copies") {
+    val d = Dedup.exact(docsDf)
+    assert(d.count() == 40) // 45 docs, 5 exact copies collapse
+    assert(d.filter(col("n_copies") === 2).count() == 5)
+  }
+
+  test("simhash near-dups EQUAL brute force at maxHamming = 8 (full recall)") {
+    val withSig = docsDf.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+    val a = withSig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = withSig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    for (maxH <- Seq(3, 8)) {
+      val brute = a.crossJoin(b)
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming", Dedup.hamming(col("sig_a"), col("sig_b")))
+        .filter(col("hamming") <= maxH)
+        .select("doc_a", "doc_b", "hamming")
+      val lsh = Dedup.simhashNearDups(docsDf, maxHamming = maxH)
+      assert(lsh.exceptAll(brute).count() == 0, s"false positives at $maxH")
+      assert(brute.exceptAll(lsh).count() == 0, s"missed pairs at $maxH")
+    }
+  }
+
+  test("minhash near-dups: subset of brute force, planted near-dups found") {
+    val k = 3; val threshold = 0.5
+    val brute = docsDf.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+      .crossJoin(docsDf.select(col("doc_id").as("doc_b"), col("text").as("text_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("text_a"), col("text_b"), k))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+    val lsh = Dedup.minhashNearDups(docsDf, threshold = threshold)
+    // precision 1 by construction (candidates are Jaccard-verified)
+    assert(lsh.exceptAll(brute).count() == 0)
+    // every planted mutation pair (i, 100+i) and copy pair (i, 200+i) found
+    val found = lsh.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    (0 until 10).foreach(i => assert(found.contains((i.toLong, 100L + i)),
+      s"missed near-copy pair ($i, ${100 + i})"))
+    (0 until 5).foreach(i => assert(found.contains((i.toLong, 200L + i)),
+      s"missed exact-copy pair ($i, ${200 + i})"))
+  }
+
+  test("survivors removes every non-canonical near-dup") {
+    val dups = Dedup.minhashNearDups(docsDf, threshold = 0.5)
+    val kept = Dedup.survivors(docsDf, dups)
+    val losers = dups.select("doc_b").distinct().count()
+    assert(kept.count() == docsDf.count() - losers)
+  }
+}
