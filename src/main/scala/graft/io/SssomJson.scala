@@ -28,7 +28,8 @@ object SssomJson {
 
   def readJson(spark: SparkSession, path: String): Msdf = {
     val doc = spark.read.option("multiLine", "true").json(path)
-    val setCols = doc.columns.filterNot(_ == "mappings")
+    val prefixCols = Set("@context", "curie_map")
+    val setCols = doc.columns.filterNot(c => c == "mappings" || prefixCols(c))
     // set-level slots → metadata (single row, driver-side)
     val metaRow = doc.select(setCols.map(col): _*).collect()(0)
     val meta = setCols.zipWithIndex.flatMap { case (c, i) =>
@@ -38,8 +39,30 @@ object SssomJson {
         case other => c -> MetaString(String.valueOf(other))
       }
     }.toVector
-    val curieMap = meta.collectFirst { case ("curie_map", m) => m }
-    val prefixes = PrefixMap.builtIn
+    // document-internal prefix map (JSON-LD @context and/or curie_map key),
+    // chained AFTER the built-in map — reference priority order
+    // (parsers.py:443-454): built-in, then document-internal
+    val docPrefixEntries: Vector[(String, String)] = doc.columns
+      .filter(prefixCols)
+      .flatMap { c =>
+        doc.select(col(c)).collect()(0).get(0) match {
+          case r: org.apache.spark.sql.Row =>
+            r.schema.fields.toVector.flatMap { f =>
+              r.getAs[Any](f.name) match {
+                case s: String => Some(f.name -> s)
+                // JSON-LD expanded term definition {"@id": ..., "@prefix": true}
+                case inner: org.apache.spark.sql.Row
+                    if inner.schema.fieldNames.contains("@id") =>
+                  Option(inner.getAs[String]("@id")).map(f.name -> _)
+                case _ => None
+              }
+            }
+          case _ => Vector.empty
+        }
+      }
+      .toVector
+      .filterNot { case (p, _) => p.startsWith("@") }
+    val prefixes = PrefixMap.builtIn.chain(PrefixMap(docPrefixEntries))
 
     val rows = doc.select(explode(col("mappings")).as("m")).select("m.*")
     // "" discipline + double typing, as in the TSV reader
@@ -47,7 +70,7 @@ object SssomJson {
       if (Schema.doubleSlots.contains(c)) col(c).cast(DoubleType).as(c)
       else coalesce(col(c).cast(StringType), lit("")).as(c)
     }.toIndexedSeq: _*)
-    Msdf(stringified, meta.filterNot(_._1 == "curie_map"), prefixes)
+    Msdf(stringified, meta, prefixes)
   }
 
   /** Serialize to a single SSSOM-JSON document (export edge — the row set
@@ -82,13 +105,16 @@ object SssomJson {
 
   // ---------- OBO Graphs ----------
 
-  /** Default mapping predicates (reference DEFAULT_MAPPING_PROPERTIES). */
+  /** Default mapping predicates (reference DEFAULT_MAPPING_PROPERTIES,
+    * constants.py:47-55).
+    */
   val defaultMappingPredicates: Seq[String] = Seq(
-    "http://www.geneontology.org/formats/oboInOwl#hasDbXref",
     "http://www.w3.org/2004/02/skos/core#exactMatch",
-    "http://www.w3.org/2004/02/skos/core#narrowMatch",
-    "http://www.w3.org/2004/02/skos/core#broadMatch",
     "http://www.w3.org/2004/02/skos/core#closeMatch",
+    "http://www.w3.org/2004/02/skos/core#broadMatch",
+    "http://www.w3.org/2004/02/skos/core#narrowMatch",
+    "http://www.geneontology.org/formats/oboInOwl#hasDbXref",
+    "http://www.w3.org/2004/02/skos/core#relatedMatch",
     "http://www.w3.org/2002/07/owl#equivalentClass")
 
   def readObographs(spark: SparkSession, path: String,
@@ -128,6 +154,35 @@ object SssomJson {
           .withColumn(Schema.ObjectId, compress(col("x.val"))).drop("x")
       else null
 
+    // basicPropertyValues: {pred, val} pairs on node meta; kept when the
+    // raw pred URI is a mapping predicate (reference parsers.py:791-796)
+    val bpvs =
+      if (hasNodes && colOpt(nodes, "meta") &&
+        nodes.select("meta.*").columns.contains("basicPropertyValues"))
+        nodes.select(col("id"), explode(col("meta.basicPropertyValues")).as("v"))
+          .filter(col("v.pred").isin(mappingPredicates: _*))
+          .select(compress(col("id")).as(Schema.SubjectId),
+            compress(col("v.pred")).as(Schema.PredicateId),
+            compress(col("v.val")).as(Schema.ObjectId))
+      else null
+
+    // edges: {sub, pred, obj}; `is_a` means rdfs:subClassOf (reference
+    // _get_obographs_predicate_id, parsers.py:734-737); the filter applies
+    // AFTER translation, so subClassOf edges surface only when the caller
+    // asks for "rdfs:subClassOf" in mappingPredicates (reference
+    // parsers.py:798-803)
+    val edges =
+      if (graphs.select("g.*").columns.contains("edges")) {
+        val e = graphs.select(explode(col("g.edges")).as("e")).select("e.*")
+        e.withColumn("__pred",
+          when(col("pred") === "is_a", lit(Schema.RdfsSubclassOf))
+            .otherwise(col("pred")))
+          .filter(col("__pred").isin(mappingPredicates: _*))
+          .select(compress(col("sub")).as(Schema.SubjectId),
+            compress(col("__pred")).as(Schema.PredicateId),
+            compress(col("obj")).as(Schema.ObjectId))
+      } else null
+
     val equivPred = "http://www.w3.org/2002/07/owl#equivalentClass"
     val equivs =
       if (mappingPredicates.contains(equivPred) &&
@@ -147,7 +202,8 @@ object SssomJson {
             compress(col("b.uri")).as(Schema.ObjectId))
       } else null
 
-    val parts = Seq(Option(xrefs), Option(equivs)).flatten
+    val parts = Seq(Option(xrefs), Option(bpvs), Option(edges),
+      Option(equivs)).flatten
     require(parts.nonEmpty, "no mapping-bearing elements in obographs input")
     val mappings0 = parts.reduce(_ unionByName _)
       .withColumn(Schema.MappingJustification,

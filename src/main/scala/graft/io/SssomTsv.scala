@@ -224,12 +224,10 @@ object SssomTsv {
       cols.indices.map { i =>
         val v = row.get(i)
         if (v == null) "" else v match {
-          case d: Double =>
-            if (d == math.rint(d) && math.abs(d) < 1e15) {
-              // match pandas' shortest-repr floats for integral values
-              val l = d.toLong
-              if (l == d) d.toString else d.toString
-            } else d.toString
+          // Double.toString is shortest-round-trip, which matches pandas'
+          // repr for both integral (5.0 -> "5.0") and fractional floats
+          // at fixture scale; no special-casing needed
+          case d: Double => d.toString
           case other => other.toString
         }
       }.mkString("\t")

@@ -64,8 +64,13 @@ object Invert {
     inverted = inverted.select(df.columns.map(col).toIndexedSeq: _*)
 
     val returned = subjectPrefix match {
-      case Some(_) =>
+      // reference branches on prefixed_subjects_df.empty (util.py:1804-1810):
+      // nonempty → prefixed + inverted; empty → inverted + predicate-modified
+      // (+ non-inverted-by-predicate, an empty frame in the prefix branch)
+      case Some(_) if !keepAsIs.isEmpty =>
         keepAsIs.unionByName(inverted).dropDuplicates()
+      case Some(_) =>
+        inverted.unionByName(predicateModified).dropDuplicates()
       case None =>
         inverted.unionByName(predicateModified).unionByName(keepAsIs)
           .dropDuplicates()

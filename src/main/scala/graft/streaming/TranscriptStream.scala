@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
   * streaming arm of the engine: a transcript micro-batch stream drives
   *  - watermarked windowed turn statistics (event-time, late data bounded
   *    by the watermark), and
-  *  - incremental entity linking via `foreachBatch`, appending SSSOM rows
-  *    into the bucketed Parquet layout with exactly-once file semantics per
-  *    micro-batch (checkpointed offsets + idempotent append dir per batch).
+  *  - incremental entity linking via `foreachBatch`, writing SSSOM rows
+  *    into the bucketed Parquet layout. foreachBatch is at-least-once, so
+  *    each micro-batch overwrites its own batchId-keyed subdirectory —
+  *    a replayed batch rewrites the same directory and the table stays
+  *    exactly-once at the directory level.
   */
 object TranscriptStream {
 
@@ -55,8 +57,9 @@ object TranscriptStream {
         Linker.toSssomRows(links)
           .withColumn("bucket",
             pmod(xxhash64(col("subject_id")), lit(16)).cast("int"))
-          .write.mode("append").partitionBy("bucket")
-          .parquet(s"$outDir/mappings")
+          // batchId-keyed dir + overwrite = idempotent under replay
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(s"$outDir/mappings/batch=$batchId")
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)

@@ -20,6 +20,7 @@ object Drive {
   }
 
   def main(args: Array[String]): Unit = {
+    if (sys.env.contains("DRIVE_SMOKE")) { smoke(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
     import graft.kg.KgPipeline
     import graft.ops.{MergeReconcile, TripleEmit}
@@ -58,5 +59,25 @@ object Drive {
       profiled(s)
       s.stop()
     }
+  }
+
+  /** End-to-end smoke over the public API surfaces changed this round. */
+  def smoke(): Unit = {
+    val s = session(4)
+    def fixture(n: String) = getClass.getResource(s"/sssom/$n").getPath
+    val json = graft.io.SssomJson.readJson(s,
+      "/root/repo/src/test/resources/sssom/basic.json")
+    println(s"readJson rows=${json.df.count()} orphanet=${json.prefixes.contains("Orphanet")}")
+    val obo = graft.io.SssomJson.readObographs(s,
+      "/root/repo/src/test/resources/sssom/obographs-mixed.json",
+      graft.core.PrefixMap.builtIn.chain(graft.core.PrefixMap(Vector(
+        "HP" -> "http://example/obo/HP_", "UMLS" -> "http://example/umls/",
+        "SCT" -> "http://example/sct/"))))
+    println(s"obographs rows=${obo.df.count()}")
+    val inv = graft.ops.Invert.invertMappings(obo.df, mergeInverted = false)
+    println(s"inverted rows=${inv.count()}")
+    val entry = graft.SparkEntry.entry(s).count()
+    println(s"entry rows=$entry")
+    s.stop()
   }
 }

@@ -14,6 +14,15 @@ class JsonXmlSpec extends SparkSpec {
       org.apache.spark.sql.types.DoubleType)
     assert(msdf.metaMap("mapping_set_id").asString
       == "https://w3id.org/sssom/mapping/tests/data/basic.tsv")
+    // document @context prefixes are chained after the built-ins
+    // (reference parse_sssom_json priority order, parsers.py:443-454)
+    assert(msdf.prefixes.contains("Orphanet"))
+    assert(msdf.prefixes.expand("Orphanet:1234")
+      .contains("http://www.orpha.net/ORDO/Orphanet_1234"))
+    assert(msdf.prefixes.contains("oboInOwl"))
+    // built-ins still win on conflicts
+    assert(msdf.prefixes.expand("owl:equivalentClass")
+      .contains("http://www.w3.org/2002/07/owl#equivalentClass"))
   }
 
   test("SSSOM-JSON round trip") {
@@ -44,6 +53,38 @@ class JsonXmlSpec extends SparkSpec {
     assert(msdf.df.filter(col("predicate_id") === "oboInOwl:hasDbXref").count() > 0)
     // labels joined from the node table
     assert(msdf.df.filter(col("subject_label") =!= "").count() > 0)
+  }
+
+  test("OBO Graphs parse covers basicPropertyValues, edges and equivalents") {
+    val prefixes = PrefixMap.builtIn.chain(PrefixMap(Vector(
+      "HP" -> "http://example/obo/HP_",
+      "UMLS" -> "http://example/umls/",
+      "SCT" -> "http://example/sct/")))
+    // default predicates: xref(1) + skos bpv(1) + broadMatch edge(1) +
+    // equivalent pair(2); is_a and non-mapping preds excluded
+    val msdf = SssomJson.readObographs(spark, fixture("obographs-mixed.json"),
+      prefixes)
+    assert(msdf.df.count() == 5)
+    val byPred = msdf.df.groupBy("predicate_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byPred == Map("oboInOwl:hasDbXref" -> 1L, "skos:exactMatch" -> 1L,
+      "skos:broadMatch" -> 1L, "owl:equivalentClass" -> 2L))
+    // the non-mapping basicPropertyValue (hasOBONamespace) is excluded
+    assert(msdf.df.filter(col("object_id") === "human_phenotype").count() == 0)
+    // labels attach on both sides of edge-derived mappings
+    assert(msdf.df.filter(col("predicate_id") === "skos:broadMatch" &&
+      col("subject_label") === "Child" && col("object_label") === "SCT One")
+      .count() == 1)
+
+    // asking for rdfs:subClassOf surfaces the is_a edge, translated
+    // (reference _get_obographs_predicate_id, parsers.py:734-737)
+    val withIsA = SssomJson.readObographs(spark, fixture("obographs-mixed.json"),
+      prefixes,
+      SssomJson.defaultMappingPredicates :+ "rdfs:subClassOf")
+    assert(withIsA.df.count() == 6)
+    assert(withIsA.df.filter(col("predicate_id") === "rdfs:subClassOf" &&
+      col("subject_id") === "HP:0000002" &&
+      col("object_id") === "HP:0000001").count() == 1)
   }
 
   test("FHIR / Ontoportal export emit valid JSON with expanded IRIs") {

@@ -24,6 +24,10 @@ class TranscriptStreamSpec extends SparkSpec {
     assert(written.count() > 0)
     assert(written.columns.contains("subject_id"))
     assert(written.select("bucket").distinct().count() > 1)
+    // batchId-keyed layout: replayed micro-batches overwrite their own dir
+    // (batch count depends on file-chunking, so only the layout is pinned)
+    assert(written.columns.contains("batch"))
+    assert(written.select("batch").distinct().count() >= 1)
   }
 
   test("windowed turn stats carry watermarked event-time windows") {
