@@ -409,6 +409,41 @@ object SparkEntry {
     "q_embed_norm" ->
       """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding,
         | x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 3) AS l2_norm
-        |FROM embeddings""".stripMargin
+        |FROM embeddings""".stripMargin,
+
+    // DuckDB's list_cosine_similarity over DOUBLE[] is bit-identical to
+    // our kernel (dot / sqrt(na*nb), sequential f64 accumulation) —
+    // verified empirically, so `cos` hash-compares exactly
+    "q_embed_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+        |  FROM embeddings),
+        |s AS (SELECT query_id, corpus_id, list_cosine_similarity(cv, qv) AS cos
+        |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
+        |r AS (SELECT query_id, corpus_id, cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cos DESC, corpus_id ASC) AS BIGINT) AS rank FROM s)
+        |SELECT query_id, corpus_id, cos, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    "q_multimodal_features" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS x FROM documents),
+        |u AS (SELECT doc_id, x,
+        |  CAST(('0x' || substr(x, 1, 8))::UBIGINT AS BIGINT) AS v1,
+        |  CAST(('0x' || substr(x, 9, 8))::UBIGINT AS BIGINT) AS v2,
+        |  ('0x' || substr(x, 1, 2))::INT % 3 AS t FROM m),
+        |h AS (SELECT doc_id, t,
+        |  CASE WHEN v1 >= 2147483648 THEN v1 - 4294967296 ELSE v1 END AS h1,
+        |  CASE WHEN v2 >= 2147483648 THEN v2 - 4294967296 ELSE v2 END AS h2
+        | FROM u)
+        |SELECT doc_id,
+        | CASE t WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |  ELSE 'video/mp4' END AS media_type,
+        | CAST(16 AS BIGINT) AS size_bytes,
+        | CAST(64 + ((h1 % 1920) + 1920) % 1920 AS INT) AS width,
+        | CAST(64 + ((h2 % 1080) + 1080) % 1080 AS INT) AS height,
+        | CAST(CASE WHEN t = 0 THEN 0
+        |  ELSE 1000 + ((h1 % 60000) + 60000) % 60000 END AS BIGINT) AS duration_ms
+        |FROM h""".stripMargin
   )
 }

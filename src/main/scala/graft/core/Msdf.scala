@@ -96,6 +96,32 @@ final case class Msdf(
     }
   }
 
+  /** Standardize set-level metadata (reference `_standardize_metadata`,
+    * src/sssom/util.py:594-638): falsy keys/values dropped; values of
+    * EntityReference-ranged set slots go through the converter
+    * (expand→compress round-trip so prefix synonyms normalize);
+    * multivalued slots element-wise. Driver-side — metadata is
+    * option-scale.
+    */
+  def standardizeMetadata(): Msdf = {
+    val refSlots = Schema.entityReferenceSlots.toSet
+    val std = (v: String) => prefixes.standardize(v.trim)
+    val newMeta = meta.filter { case (k, v) =>
+      k.nonEmpty && (v match {
+        case MetaString(s) => s.nonEmpty
+        case MetaList(xs) => xs.nonEmpty
+        case MetaMap(m) => m.nonEmpty
+      })
+    }.map {
+      case (k, MetaString(s)) if refSlots(k) && Schema.multivaluedSlots(k) =>
+        k -> MetaList(s.split("\\|", -1).toVector.map(std))
+      case (k, MetaString(s)) if refSlots(k) => k -> MetaString(std(s))
+      case (k, MetaList(xs)) if refSlots(k) => k -> MetaList(xs.map(std))
+      case other => other
+    }
+    copy(meta = newMeta)
+  }
+
   /** Canonical column + row ordering (reference `sort_df_rows_columns`,
     * src/sssom/util.py:1600-1618): columns in schema slot order, rows
     * ascending by that column sequence.

@@ -109,6 +109,16 @@ object SssomTsv {
   def read(spark: SparkSession, path: String,
       extraMeta: Vector[(String, MetaValue)] = Vector.empty,
       metaPath: Option[String] = None): Msdf = {
+    // flexible input forms (reference `_open_input`, parsers.py:104-141):
+    // raw string content (contains a newline), http(s) URL, file:// URL,
+    // .gz or plain path. http(s) needs network — this build is zero-egress.
+    if (path.contains("\n") || path.contains("\r"))
+      return readFromString(spark, path, extraMeta = extraMeta)
+    if (path.startsWith("http://") || path.startsWith("https://"))
+      throw new UnsupportedOperationException(
+        "http(s) input requires network access (reference fetches via " +
+          "requests, parsers.py:116-120); this build is offline — " +
+          "download the file and pass a local or file:// path")
     val sep = inferSeparator(path)
     val headerLines = readHeaderLines(spark, path)
     // external-metadata mode (reference io.py:171-203): a companion YAML
@@ -142,7 +152,44 @@ object SssomTsv {
       .option("inferSchema", "false")
       .option("mode", "PERMISSIVE")
       .csv(path)
+    postProcess(raw, meta, prefixes)
+  }
 
+  /** Parse SSSOM TSV content handed in as a raw string (reference
+    * `_open_input` string branch). The header is split off driver-side;
+    * the body parses through the same distributed CSV reader via a
+    * Dataset[String].
+    */
+  def readFromString(spark: SparkSession, content: String, sep: String = "\t",
+      extraMeta: Vector[(String, MetaValue)] = Vector.empty): Msdf = {
+    val lines = content.split("\r?\n", -1).toVector
+    val headerLines = lines.takeWhile(_.startsWith("#"))
+    val bodyLines = lines.drop(headerLines.length).filter(_.nonEmpty)
+    val meta0 = {
+      val embedded = parseMetaYaml(headerLines)
+      embedded
+    }
+    val curieMap: Vector[(String, String)] = meta0.collectFirst {
+      case ("curie_map", MetaMap(m)) => m
+    }.getOrElse(Vector.empty)
+    val prefixes = PrefixMap.builtIn
+      .chain(PrefixMap(curieMap))
+      .chain(PrefixMap(extraMeta.collectFirst { case ("curie_map", MetaMap(m)) => m }
+        .getOrElse(Vector.empty)))
+    val meta = (meta0 ++ extraMeta.filterNot(kv => meta0.exists(_._1 == kv._1)))
+      .filterNot(_._1 == "curie_map")
+    import spark.implicits._
+    val raw = spark.read
+      .option("sep", sep)
+      .option("header", "true")
+      .option("inferSchema", "false")
+      .option("mode", "PERMISSIVE")
+      .csv(spark.createDataset(bodyLines))
+    postProcess(raw, meta, prefixes)
+  }
+
+  private def postProcess(raw: DataFrame, meta: Vector[(String, MetaValue)],
+      prefixes: PrefixMap): Msdf = {
     // all-string discipline + "" for absent (reference parsers.py:178,193)
     val stringified = raw.select(raw.columns.map { c =>
       coalesce(col(c).cast(StringType), lit("")).as(c)

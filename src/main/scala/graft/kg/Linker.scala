@@ -100,7 +100,10 @@ object Linker {
         posexplode(col("sigs")).as(Seq("band", "sig")))
 
     val jac = udf((a: String, b: String) => TextHash.charTrigramJaccard(a, b))
-    mentionBands.join(dictBands, Seq("band", "sig"))
+    // dictionary band rows are tiny (nConcepts × bands): broadcast them
+    // explicitly so the plan never shuffles the mention side, with or
+    // without AQE
+    mentionBands.join(broadcast(dictBands), Seq("band", "sig"))
       .dropDuplicates("conv_id", "turn_idx", "mention", "concept_id")
       .withColumn("jaccard", jac(col("mention"), col("surface")))
       .filter(col("jaccard") >= jaccardMin && col("mention") =!= col("surface"))

@@ -21,26 +21,31 @@ object Multimodal {
 
   /** Attach a binary media column + metadata struct to a table. The demo
     * payload is derived from existing columns (deterministic); a real
-    * pipeline reads it from blob storage.
+    * pipeline reads it from blob storage. All derivations are plain
+    * hash/arithmetic so the whole decode path is DuckDB-oracle-checkable.
     */
   def withMediaColumn(df: DataFrame, payloadFrom: String): DataFrame =
     df.withColumn("media",
         to_binary(md5(col(payloadFrom)), lit("hex")))
       .withColumn("media_type",
         element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
-          (pmod(xxhash64(col(payloadFrom)), lit(3)) + 1).cast("int")))
+          (conv(substring(md5(col(payloadFrom)), 1, 2), 16, 10).cast("int")
+            % 3 + 1)))
 
-  /** STUB decode: deterministic pseudo-metadata from payload bytes.
+  /** STUB decode: deterministic pseudo-metadata from payload bytes
+    * (big-endian ints off the header, floorMod'ed into plausible ranges).
     * Replace the body with a real codec call (e.g. javax.imageio /
     * ffmpeg bindings) in production — signature and batch shape hold.
     */
   def decodeStub(payload: Array[Byte], mediaType: String): MediaMeta = {
     // ??? — real decoder goes here; deterministic fake below
-    val h = java.util.Arrays.hashCode(payload)
-    val w = 64 + math.abs(h % 1920)
-    val ht = 64 + math.abs((h / 7) % 1080)
+    val bb = java.nio.ByteBuffer.wrap(payload)
+    val h = if (payload.length >= 4) bb.getInt(0) else 0
+    val h2 = if (payload.length >= 8) bb.getInt(4) else 0
+    val w = 64 + math.floorMod(h, 1920)
+    val ht = 64 + math.floorMod(h2, 1080)
     val dur = if (mediaType.startsWith("image")) 0L
-      else 1000L + math.abs(h % 60000).toLong
+      else 1000L + math.floorMod(h, 60000).toLong
     MediaMeta(mediaType, payload.length.toLong, w, ht, dur)
   }
 

@@ -74,6 +74,14 @@ object Normalize {
   def removeUnmatched(df: DataFrame): DataFrame =
     df.filter(col(PredicateId) =!= "noMatch")
 
+  /** Standardize both the table's EntityReference columns and the
+    * set-level metadata through the prefix map (reference
+    * `MappingSetDataFrame.standardize_references`, src/sssom/util.py:218-221).
+    */
+  def standardizeAll(msdf: Msdf): Msdf =
+    msdf.standardizeMetadata()
+      .withDf(standardizeReferences(msdf.df, msdf.prefixes))
+
   /** Rename prefixes in the map and rewire the data accordingly
     * (reference `reconcile_prefix_and_data`).
     */
@@ -92,7 +100,9 @@ object Normalize {
     }
     val df2 = entityReferenceSlots.filter(msdf.df.columns.contains)
       .foldLeft(msdf.df)((d, c) => d.withColumn(c, remap(col(c))))
-    Msdf(df2, msdf.meta, newPrefixes)
+    // reference ends with standardize_references() on the rewired
+    // converter (util.py:1596) — data AND metadata
+    standardizeAll(Msdf(df2, msdf.meta, newPrefixes))
   }
 
   /** Per-column OR of LIKE patterns, AND across columns
@@ -103,5 +113,39 @@ object Normalize {
       pats.map(p => col(c).like(p)).reduce(_ || _)
     }.reduce(_ && _)
     df.filter(cond)
+  }
+
+  /** Recursively resolve CURIEs / IRIs / files-of-either to a sorted
+    * distinct IRI list (reference `extract_iris`, src/sssom/io.py:206-231).
+    * Driver-side: the inputs are option-scale (a predicate list), never
+    * data-scale.
+    */
+  def extractIris(inputs: Seq[String], prefixes: PrefixMap): Seq[String] = {
+    def one(in: String): Seq[String] = {
+      val p = java.nio.file.Paths.get(in)
+      if (java.nio.file.Files.isRegularFile(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.readAllLines(p).asScala.toSeq
+          .filter(_.nonEmpty).flatMap(one)
+      }
+      else if (PrefixMap.looksLikeIri(in)) Seq(in)
+      else if (PrefixMap.looksLikeCurie(in))
+        prefixes.expand(in).toSeq // unknown prefix → skipped (ref warns)
+      else Seq.empty
+    }
+    inputs.flatMap(one).distinct.sorted
+  }
+
+  /** Keep rows whose predicate is in the given CURIE/IRI/file list — the
+    * parse-time predicate filter (reference parsers.py:699-700, 762-763:
+    * `mapping_predicates = extract_iris(...)`). The resolved list is a
+    * broadcast-size `isin` against the standardized predicate column.
+    */
+  def filterByPredicates(df: DataFrame, predicates: Seq[String],
+      prefixes: PrefixMap): DataFrame = {
+    val iris = extractIris(predicates, prefixes)
+    // match either spelling of each predicate (CURIE or IRI)
+    val accepted = (iris ++ iris.flatMap(prefixes.compress)).distinct
+    df.filter(col(PredicateId).isin(accepted: _*))
   }
 }

@@ -40,8 +40,17 @@ object Ptable {
     val isEquiv = p.isin(EquivalentPreds: _*)
     val isSibling = p.isin(SiblingPreds: _*)
 
+    // reference raises ValueError on any unhandled predicate
+    // (util.py:1009-1010) rather than silently dropping the row
+    val unhandled = collapsed
+      .filter(!(isSub || isSuper || isEquiv || isSibling))
+      .select(PredicateId).distinct().limit(5)
+      .collect().map(_.getString(0))
+    if (unhandled.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Unhandled predicate(s) for ptable export: ${unhandled.mkString(", ")}")
+
     collapsed
-      .filter(isSub || isSuper || isEquiv || isSibling)
       .select(
         col(SubjectId), col(ObjectId),
         when(isSub, conf).when(isSuper, inv).otherwise(resid)

@@ -65,15 +65,18 @@ object SqlOps {
     * window sums — no driver-side table required.
     */
   def chiSquared(df: DataFrame, c1: String, c2: String): Double = {
-    import org.apache.spark.sql.expressions.Window
-    val ct = crosstab(df, c1, c2)
-    val byRow = Window.partitionBy(col(c1))
-    val byCol = Window.partitionBy(col(c2))
-    val total = Window.partitionBy()
+    // contingency margins via aggregates + joins — no empty-partition
+    // window (Window.partitionBy() forces everything onto one task and
+    // WindowExec warns); the contingency table is tiny but the plan
+    // pattern should stay scale-clean
+    val ct = crosstab(df, c1, c2).localCheckpoint(true)
+    val rowTotals = ct.groupBy(col(c1)).agg(sum("n").as("rt"))
+    val colTotals = ct.groupBy(col(c2)).agg(sum("n").as("ctot"))
+    val grand = ct.agg(sum("n").as("t"))
     val withExp = ct
-      .withColumn("rt", sum("n").over(byRow))
-      .withColumn("ctot", sum("n").over(byCol))
-      .withColumn("t", sum("n").over(total))
+      .join(rowTotals, c1)
+      .join(colTotals, c2)
+      .crossJoin(grand)
       .withColumn("expected", col("rt") * col("ctot") / col("t"))
       .withColumn("chi",
         (col("n") - col("expected")) * (col("n") - col("expected")) /

@@ -177,6 +177,8 @@ object TextHash extends Serializable {
       val x = ia.next().toDouble; val y = ib.next().toDouble
       dot += x * y; na += x * x; nb += y * y
     }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    // dot / (sqrt·sqrt), NOT sqrt(na*nb): bit-identical to the canonical
+    // formulation (and DuckDB's list_cosine_similarity oracle)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }

@@ -8,11 +8,21 @@ import org.apache.spark.sql.SparkSession
 object Drive {
   private def session(threads: Int): SparkSession = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val s = SparkSession.builder().master(s"local[$threads]")
+    val master =
+      if (sys.env.contains("DRIVE_CLUSTER"))
+        s"local-cluster[$threads,1,3072]"
+      else s"local[$threads]"
+    val s = SparkSession.builder().master(master)
+      .config("spark.executor.memory", "2g")
+      .config("spark.executor.extraClassPath",
+        "/root/repo/target/scala-2.13/classes")
       .appName(s"drive-$threads")
-      .config("spark.sql.shuffle.partitions", threads.toString)
+      .config("spark.sql.shuffle.partitions",
+        (threads * sys.env.getOrElse("DRIVE_PARTS_MULT", "1").toInt).toString)
+      .config("spark.default.parallelism",
+        (threads * sys.env.getOrElse("DRIVE_PARTS_MULT", "1").toInt).toString)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("DRIVE_AQE", "true"))
-      .config("spark.sql.codegen.wholeStage", "false")
+      .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("DRIVE_CODEGEN", "false"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
@@ -53,9 +63,15 @@ object Drive {
         .count()
       lap(s"join+count n=$n")
     }
-    Seq(4, 4, 1).zipWithIndex.foreach { case (th, i) =>
+    sys.env.getOrElse("DRIVE_LEVELS","4,4,1").split(",").toSeq.map(_.trim.toInt).zipWithIndex.foreach { case (th, i) =>
       val s = session(th)
-      println(s"threads=$th warm=${i == 0}")
+      println(s"threads=$th warm=run0")
+      // warm THIS session's executors (fresh JVMs in local-cluster mode)
+      locally {
+        val cfg = KgPipeline.Config(outDir = "", nConv = scale / 8,
+          turnsPerConv = 8, nConcepts = 2000L)
+        KgPipeline.buildGraph(KgPipeline.extractMappings(s, cfg)).count()
+      }
       profiled(s)
       s.stop()
     }

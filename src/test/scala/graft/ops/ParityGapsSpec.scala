@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.core._
+import graft.io.SssomTsv
+import org.apache.spark.sql.functions._
+
+/** Round-2 parity gaps: extract_iris predicate filter, metadata
+  * standardization, raw-string / file:// input forms.
+  */
+class ParityGapsSpec extends SparkSpec {
+
+  test("extractIris resolves CURIEs, IRIs and files-of-CURIEs (io.py:206-231)") {
+    val prefixes = PrefixMap.builtIn
+    val f = java.nio.file.Files.createTempFile("preds", ".txt")
+    java.nio.file.Files.write(f,
+      "skos:exactMatch\nowl:equivalentClass\n".getBytes)
+    val iris = Normalize.extractIris(
+      Seq(f.toString, "skos:closeMatch",
+        "http://www.w3.org/2004/02/skos/core#broadMatch",
+        "unknownprefix"), prefixes)
+    assert(iris == Seq(
+      "http://www.w3.org/2002/07/owl#equivalentClass",
+      "http://www.w3.org/2004/02/skos/core#broadMatch",
+      "http://www.w3.org/2004/02/skos/core#closeMatch",
+      "http://www.w3.org/2004/02/skos/core#exactMatch"))
+  }
+
+  test("predicate filter at parse keeps only requested predicates") {
+    val msdf = SssomTsv.read(spark, fixture("basic.tsv"))
+    val kept = Normalize.filterByPredicates(msdf.df,
+      Seq("owl:equivalentClass"), msdf.prefixes)
+    assert(kept.count() > 0)
+    assert(kept.select("predicate_id").distinct().count() == 1)
+    val multi = Normalize.filterByPredicates(msdf.df,
+      Seq("owl:equivalentClass", "skos:exactMatch"), msdf.prefixes)
+    assert(multi.count() >= kept.count())
+    assert(Normalize.filterByPredicates(msdf.df, Seq("skos:relatedMatch"),
+      msdf.prefixes).count() == 0)
+  }
+
+  test("standardizeMetadata: EntityReference set slots go through the converter") {
+    val df = spark.range(1).toDF("i")
+    val prefixes = PrefixMap.builtIn.chain(PrefixMap(Vector(
+      "orcid" -> "https://orcid.org/")))
+    val msdf = Msdf(df, Vector(
+      "creator_id" -> MetaString("https://orcid.org/0000-0001|orcid:0000-0002"),
+      "mapping_set_id" -> MetaString("https://example.org/set"),
+      "empty_slot" -> MetaString(""),
+      "license" -> MetaString("https://example.org/license")), prefixes)
+    val std = msdf.standardizeMetadata()
+    // IRIs of known prefixes compress; multivalued split element-wise
+    assert(std.metaMap("creator_id") ==
+      MetaList(Vector("orcid:0000-0001", "orcid:0000-0002")))
+    // falsy values dropped (util.py:603-605)
+    assert(!std.metaMap.contains("empty_slot"))
+    // non-EntityReference slots untouched
+    assert(std.metaMap("mapping_set_id").asString == "https://example.org/set")
+  }
+
+  test("raw-string and file:// inputs parse like paths (parsers.py:104-141)") {
+    val path = fixture("basic.tsv")
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)))
+    val fromString = SssomTsv.read(spark, content)
+    assert(fromString.df.count() == 141)
+    assert(fromString.prefixes.contains("x"))
+    val fromUrl = SssomTsv.read(spark, "file://" + path)
+    assert(fromUrl.df.count() == 141)
+    val err = intercept[UnsupportedOperationException] {
+      SssomTsv.read(spark, "https://example.org/basic.tsv")
+    }
+    assert(err.getMessage.contains("offline"))
+  }
+}
