@@ -51,7 +51,11 @@ object KgPipeline {
   def extractMappings(spark: SparkSession, cfg: Config): DataFrame = {
     val transcripts = Synthetic.transcripts(spark, cfg.nConv, cfg.turnsPerConv,
       cfg.nConcepts, cfg.seed)
+    // the dictionary feeds two join branches (exact broadcast + fuzzy band
+    // broadcast) — materialize its tiny generation plan once instead of
+    // re-running it per branch
     val dict = Synthetic.dictionary(spark, cfg.nConcepts, cfg.seed)
+      .localCheckpoint(true)
     // mentions feed both link branches; recomputing the cheap explode in
     // each branch beats an extra materialization job (the expensive band
     // signatures live only in the fuzzy branch)

@@ -31,23 +31,27 @@ object Linker {
   def normalize(c: Column): Column =
     regexp_replace(lower(trim(c)), "[^a-z0-9 ]", "")
 
-  /** Detect candidate mentions: n-grams (1..maxN tokens) per turn. */
+  /** Detect candidate mentions: n-grams (1..maxN tokens) per turn.
+    *
+    * Shape note: the span strings are built per turn inside ONE nested
+    * `transform` + `flatten` projection and only (conv_id, turn_idx,
+    * mention) is exploded. The naive two-nested-`explode` formulation
+    * makes Generate copy the full child row — including the tokens
+    * array — once per (start, len) pair: O(spans × |tokens|) array
+    * copying per turn, a pure memory-bandwidth tax at any scale.
+    */
   def detectMentions(transcripts: DataFrame, maxN: Int = 3): DataFrame = {
     val tokens = split(normalize(col("text")), "\\s+")
     val t = transcripts
       .select(col("conv_id"), col("turn_idx"), tokens.as("tokens"))
       .withColumn("n_tok", size(col("tokens")))
-    // explode over start index × span length; slice is codegen'd
-    val spans = t
-      .withColumn("start", explode(sequence(lit(0), col("n_tok") - 1)))
-      .withColumn("len", explode(sequence(lit(1), least(lit(maxN),
-        col("n_tok") - col("start")))))
-      .select(col("conv_id"), col("turn_idx"),
-        array_join(slice(col("tokens"), col("start") + 1, col("len")), " ")
-          .as("mention"),
-        col("start"))
-      .filter(length(col("mention")) >= 3)
-    spans
+    val spanArr = flatten(transform(
+      sequence(lit(0), col("n_tok") - 1),
+      start => transform(
+        sequence(lit(1), least(lit(maxN), col("n_tok") - start)),
+        len => array_join(slice(col("tokens"), start + 1, len), " "))))
+    t.select(col("conv_id"), col("turn_idx"),
+        explode(filter(spanArr, s => length(s) >= 3)).as("mention"))
   }
 
   /** MinHash band signatures over character trigrams (JIT'd kernel —

@@ -68,12 +68,40 @@ object TextHash extends Serializable {
     }
   }
 
+  /** In-place sort + dedup of a primitive hash array (allocation-light
+    * set representation: boxed immutable.HashSet[Long] was 40% of all
+    * executor CPU samples in the fuzzy-link profile).
+    */
+  private def distinctSorted(xs: Array[Long]): Array[Long] = {
+    if (xs.length <= 1) return xs
+    java.util.Arrays.sort(xs)
+    var n = 1; var i = 1
+    while (i < xs.length) {
+      if (xs(i) != xs(n - 1)) { xs(n) = xs(i); n += 1 }
+      i += 1
+    }
+    if (n == xs.length) xs else java.util.Arrays.copyOf(xs, n)
+  }
+
+  /** Merge-count Jaccard of two sorted distinct arrays. */
+  private def jaccardSorted(sa: Array[Long], sb: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < sa.length && j < sb.length) {
+      val x = sa(i); val y = sb(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (sa.length + sb.length - inter)
+  }
+
   /** Shingle-set Jaccard similarity. */
   def jaccardShingles(a: String, b: String, k: Int): Double = {
-    val sa = shingleHashes(a, k).toSet
-    val sb = shingleHashes(b, k).toSet
+    val sa = distinctSorted(shingleHashes(a, k))
+    val sb = distinctSorted(shingleHashes(b, k))
     if (sa.isEmpty && sb.isEmpty) 1.0
-    else (sa & sb).size.toDouble / (sa | sb).size
+    else if (sa.isEmpty || sb.isEmpty) 0.0
+    else jaccardSorted(sa, sb)
   }
 
   /** 64-bit SimHash over token hashes. */
@@ -162,11 +190,11 @@ object TextHash extends Serializable {
 
   /** Character-trigram Jaccard similarity. */
   def charTrigramJaccard(a: String, b: String): Double = {
-    val sa = charTrigramHashes(a).toSet
-    val sb = charTrigramHashes(b).toSet
+    val sa = distinctSorted(charTrigramHashes(a))
+    val sb = distinctSorted(charTrigramHashes(b))
     if (sa.isEmpty && sb.isEmpty) 1.0
     else if (sa.isEmpty || sb.isEmpty) 0.0
-    else (sa & sb).size.toDouble / (sa | sb).size
+    else jaccardSorted(sa, sb)
   }
 
   /** Cosine similarity of two float vectors. */

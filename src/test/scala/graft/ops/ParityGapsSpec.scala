@@ -58,6 +58,35 @@ class ParityGapsSpec extends SparkSpec {
     assert(std.metaMap("mapping_set_id").asString == "https://example.org/set")
   }
 
+  test("invert with subjectPrefix keeps predicate-modified rows when no row already carries the prefix") {
+    import spark.implicits._
+    // no row has subject prefix "T:"; one Not-modified row exists
+    val df = Seq(
+      ("a:1", "skos:narrowMatch", "T:9", ""),
+      ("a:2", "skos:exactMatch", "T:8", "Not"))
+      .toDF("subject_id", "predicate_id", "object_id", "predicate_modifier")
+    val out = Invert.invertMappings(df, subjectPrefix = Some("T"),
+      mergeInverted = false, updateJustification = false)
+    // reference empty-prefixed_subjects branch (util.py:1806-1810):
+    // inverted row + the predicate-modified row survive
+    val rows = out.select("subject_id", "predicate_id", "object_id",
+      "predicate_modifier").as[(String, String, String, String)]
+      .collect().toSet
+    assert(rows == Set(
+      ("T:9", "skos:broadMatch", "a:1", ""),
+      ("a:2", "skos:exactMatch", "T:8", "Not")))
+  }
+
+  test("ptable raises on unhandled predicates (util.py:1009-1010)") {
+    import spark.implicits._
+    val df = Seq(("a:1", "madeUp:predicate", "b:1", 0.9))
+      .toDF("subject_id", "predicate_id", "object_id", "confidence")
+    val err = intercept[IllegalArgumentException] {
+      Ptable.toPtable(df).count()
+    }
+    assert(err.getMessage.contains("madeUp:predicate"))
+  }
+
   test("raw-string and file:// inputs parse like paths (parsers.py:104-141)") {
     val path = fixture("basic.tsv")
     val content = new String(java.nio.file.Files.readAllBytes(
