@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default sized to the round-driver's bench environment (~50 GiB block
+  // manager): a small heap shrinks per-task execution memory and forces
+  // hash-agg sort-fallback at 4 threads, distorting scaling numbers
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 ) ++ sys.env.get("GRAFT_EXTRA_JVM").map(_.split(" ").toSeq).getOrElse(Seq.empty)

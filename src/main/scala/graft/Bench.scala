@@ -23,11 +23,17 @@ object Bench {
     "q_cc_small", "q_kg_triples")
 
   private def session(threads: Int, codegen: Boolean = true,
-      aqe: Boolean = true): SparkSession = {
+      aqe: Boolean = true, partsPerCore: Int = 1): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$threads]")
       .appName(s"graft-bench-$threads")
-      .config("spark.sql.shuffle.partitions", threads.toString)
+      // scaling sessions use partitions ∝ cores (4/core) so per-TASK
+      // state (hash-agg maps, sort buffers) is IDENTICAL at both cluster
+      // sizes — exactly how a real N vs 4N cluster is configured; equal
+      // partition counts would hand the small cluster 4× the per-task
+      // memory and distort the comparison
+      .config("spark.sql.shuffle.partitions", (threads * partsPerCore).toString)
+      .config("spark.default.parallelism", (threads * partsPerCore).toString)
       // Scaling sessions run AQE OFF: AQE re-plans the query after every
       // shuffle stage, a DRIVER-side latency (~3 s measured at nConv=1)
       // that is scale-INdependent — negligible on an hours-long cluster
@@ -79,7 +85,7 @@ object Bench {
     // un-stolen capacity at that parallelism.
     def runOnce(threads: Int, warm: Boolean): (Long, Double) = {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      val s = session(threads, codegen = false, aqe = false)
+      val s = session(threads, codegen = false, aqe = false, partsPerCore = 4)
       if (warm) kgRun(s, scale / 16)
       val r = kgRun(s, scale)
       s.stop()

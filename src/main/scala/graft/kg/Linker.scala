@@ -106,9 +106,14 @@ object Linker {
     val jac = udf((a: String, b: String) => TextHash.charTrigramJaccard(a, b))
     // dictionary band rows are tiny (nConcepts × bands): broadcast them
     // explicitly so the plan never shuffles the mention side, with or
-    // without AQE
-    mentionBands.join(broadcast(dictBands), Seq("band", "sig"))
+    // without AQE. The candidate dedup shuffles ONLY the 4-column key —
+    // the surface string rejoins from the broadcast dictionary afterwards;
+    // carrying it through dropDuplicates inflates the hash-agg state and
+    // forces sort-fallback at scale.
+    mentionBands.join(broadcast(dictBands.drop("surface")), Seq("band", "sig"))
+      .select("conv_id", "turn_idx", "mention", "concept_id")
       .dropDuplicates("conv_id", "turn_idx", "mention", "concept_id")
+      .join(broadcast(dictSurf), Seq("concept_id"))
       .withColumn("jaccard", jac(col("mention"), col("surface")))
       .filter(col("jaccard") >= jaccardMin && col("mention") =!= col("surface"))
       .select(col("conv_id"), col("turn_idx"), col("mention"),

@@ -1,0 +1,60 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.text.TextHash
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic embeddings: 4 well-separated cluster centers ± small
+  // deterministic noise, so nearest neighbors are in-cluster
+  private lazy val vecs: Seq[(Long, Array[Float])] = (0L until 200L).map { i =>
+    val cluster = (i % 4).toInt
+    val v = Array.tabulate(16) { d =>
+      val center = if (d % 4 == cluster) 1.0f else 0.0f
+      val noise = ((TextHash.mix(i, d.toLong) % 1000) / 50000.0f)
+      center + noise
+    }
+    (i, v)
+  }
+  private lazy val emb = vecs.toDF("vec_id", "embedding")
+
+  test("bruteForceTopK returns exactly the k nearest by cosine, ranked") {
+    val queries = emb.filter(col("vec_id") < 3)
+    val topk = Similarity.bruteForceTopK(emb, queries, k = 5)
+    assert(topk.count() == 15)
+    // manual oracle for query 0
+    val q = vecs(0)._2
+    val expected = vecs.drop(1)
+      .map { case (id, v) => (id, TextHash.cosine(v.toSeq, q.toSeq)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    val got = topk.filter(col("query_id") === 0).orderBy("rank")
+      .select("corpus_id").as[Long].collect()
+    assert(got.toSeq == expected.toSeq)
+    // all neighbors of query 0 are in cluster 0 (ids ≡ 0 mod 4)
+    assert(got.forall(_ % 4 == 0))
+  }
+
+  test("lshTopK: bucketed candidates, high recall vs brute force on clustered data") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // shorter signatures + more tables = higher recall (more candidate
+    // collisions) — the standard LSH quality/cost dial
+    val ann = Similarity.lshTopK(emb, queries, k = 5, bits = 8, tables = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"ANN recall $recall < 0.8")
+    // defaults trade recall for fewer candidates but must stay useful
+    val annDefault = Similarity.lshTopK(emb, queries, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert((annDefault & brute).size.toDouble / brute.size >= 0.5)
+  }
+
+  test("cosine kernel: unit self-similarity, zero-vector guard") {
+    val v = Seq(1.0f, 2.0f, 3.0f)
+    assert(math.abs(TextHash.cosine(v, v) - 1.0) < 1e-12)
+    assert(TextHash.cosine(Seq(0f, 0f), v ++ Seq.empty) == 0.0)
+  }
+}
