@@ -28,6 +28,20 @@ object Validators {
     (msdf.usedPrefixes -- msdf.prefixes.prefixes --
       PrefixMap.builtInPrefixes).toSeq.sorted
 
+  /** Count of non-schema ("bad") attribute occurrences per column
+    * (reference `_get_mapping_dict`'s bad_attrs Counter,
+    * parsers.py:530-552: every row increments each column outside the
+    * schema's mapping slots).
+    */
+  def badAttributeCounts(df: DataFrame): Map[String, Long] = {
+    val bad = df.columns.filterNot(mappingSlots.contains)
+    if (bad.isEmpty) Map.empty
+    else {
+      val n = df.count()
+      bad.map(_ -> n).toMap
+    }
+  }
+
   /** Rows with a `|` inside single-valued EntityReference slots
     * (reference `check_strict_curie_format`, validators.py:179-226).
     * Returns (row key, column, offending value).

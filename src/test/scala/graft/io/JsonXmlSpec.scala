@@ -133,6 +133,10 @@ class TriplePrecisionRecallSpec extends SparkSpec {
     val report = Validators.validate(msdf)
     assert(report.curieFormatViolations == 0)
     assert(report.schemaViolations == 0)
+    // bad-attribute counter (reference parsers.py:530-552)
+    assert(Validators.badAttributeCounts(msdf.df).isEmpty)
+    val withBad = msdf.df.withColumn("not_a_slot", lit("x"))
+    assert(Validators.badAttributeCounts(withBad) == Map("not_a_slot" -> 141L))
     val bad = msdf.df.limit(2).withColumn("subject_id",
       concat(col("subject_id"), lit("|x:evil")))
     assert(Validators.strictCurieViolations(bad).count() == 2)
