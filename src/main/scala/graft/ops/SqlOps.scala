@@ -112,12 +112,60 @@ object SqlOps {
     "curation_rule_text", "cardinality_scope", "record_id",
     "mapping_set_confidence", "publication_date")
 
-  def enforceVersion(msdf: Msdf, version: String = "1.0"): Msdf =
-    if (version != "1.0") msdf
-    else {
-      val drop = msdf.df.columns.filter(slotsAddedIn11.contains)
-      Msdf(msdf.df.drop(drop.toIndexedSeq: _*),
-        msdf.meta.filterNot(kv => slotsAddedIn11.contains(kv._1)),
-        msdf.prefixes)
+  /** Enum values introduced after 1.0: (slot, value) pairs blanked when
+    * enforcing 1.0 (reference NEW_ENUM_VALUES, constants.py:256-259).
+    */
+  private val enumValuesAddedIn11: Seq[(String, String)] = Seq(
+    Schema.SubjectType -> "composed entity expression",
+    Schema.ObjectType -> "composed entity expression",
+    Schema.MappingCardinality -> "0:0")
+
+  /** Minimum SSSOM version this set is compatible with (reference
+    * `get_compatible_version`, util.py:481-506): 1.1 if any 1.1-only
+    * slot is present, or any 1.1-only enum value occurs in the data;
+    * else 1.0. The enum check is one distributed filter.
+    */
+  def getCompatibleVersion(msdf: Msdf): String = {
+    val slotHit = msdf.df.columns.exists(slotsAddedIn11.contains) ||
+      msdf.meta.exists(kv => slotsAddedIn11.contains(kv._1))
+    if (slotHit) return "1.1"
+    val enumCond = enumValuesAddedIn11
+      .filter { case (slot, _) => msdf.df.columns.contains(slot) }
+      .map { case (slot, v) => col(slot) === v }
+      .reduceOption(_ || _)
+    val enumHit = enumCond.exists(c => !msdf.df.filter(c).isEmpty) ||
+      enumValuesAddedIn11.exists { case (slot, v) =>
+        msdf.metaMap.get(slot).exists(_.asString == v)
+      }
+    if (enumHit) "1.1" else "1.0"
+  }
+
+  /** Force compliance with a target spec version (reference
+    * `enforce_version`, util.py:508-575): slots added after the target
+    * are dropped from table and metadata; enum values added after the
+    * target are blanked in the remaining columns; `strict` additionally
+    * drops unknown (non-schema) slots.
+    */
+  def enforceVersion(msdf: Msdf, version: String = "1.0",
+      strict: Boolean = false): Msdf = {
+    val known = (Schema.mappingSlots ++ Schema.mappingSetSlots).toSet ++
+      slotsAddedIn11
+    def keep(name: String): Boolean = {
+      if (known.contains(name))
+        version != "1.0" || !slotsAddedIn11.contains(name)
+      else !strict // unknown slot: kept unless strict (no extension model)
     }
+    val dropCols = msdf.df.columns.filterNot(keep)
+    var df = msdf.df.drop(dropCols.toIndexedSeq: _*)
+    if (version == "1.0")
+      enumValuesAddedIn11.foreach { case (slot, v) =>
+        if (df.columns.contains(slot))
+          df = df.withColumn(slot, when(col(slot) === v, lit("")).otherwise(col(slot)))
+      }
+    val meta = msdf.meta.filter(kv => keep(kv._1))
+      .filterNot { case (k, mv) =>
+        version == "1.0" && enumValuesAddedIn11.contains((k, mv.asString))
+      }
+    Msdf(df, meta, msdf.prefixes)
+  }
 }

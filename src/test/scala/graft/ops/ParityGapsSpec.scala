@@ -87,6 +87,34 @@ class ParityGapsSpec extends SparkSpec {
     assert(err.getMessage.contains("madeUp:predicate"))
   }
 
+  test("version ladder: getCompatibleVersion + enforceVersion enum blanking") {
+    import spark.implicits._
+    val base = Seq(("a:1", "skos:exactMatch", "b:1", "owl class"))
+      .toDF("subject_id", "predicate_id", "object_id", "subject_type")
+    val v10 = Msdf(base, Vector.empty, PrefixMap.builtIn)
+    assert(SqlOps.getCompatibleVersion(v10) == "1.0")
+    // a 1.1-only slot forces 1.1
+    val withSlot = v10.withDf(base.withColumn("record_id", lit("r1")))
+    assert(SqlOps.getCompatibleVersion(withSlot) == "1.1")
+    // a 1.1-only enum value in a 1.0 slot forces 1.1
+    val withEnum = v10.withDf(base.withColumn("subject_type",
+      lit("composed entity expression")))
+    assert(SqlOps.getCompatibleVersion(withEnum) == "1.1")
+    // enforcing 1.0 drops the slot and blanks the enum value
+    val enforced = SqlOps.enforceVersion(
+      withSlot.withDf(withSlot.df.withColumn("subject_type",
+        lit("composed entity expression"))), "1.0")
+    assert(!enforced.df.columns.contains("record_id"))
+    assert(enforced.df.filter(col("subject_type") === "").count() == 1)
+    // strict mode drops unknown columns; non-strict keeps them
+    val unknown = v10.withDf(base.withColumn("my_extension", lit("x")))
+    assert(SqlOps.enforceVersion(unknown, "1.1", strict = true)
+      .df.columns.toSet == Set("subject_id", "predicate_id", "object_id",
+        "subject_type"))
+    assert(SqlOps.enforceVersion(unknown, "1.1")
+      .df.columns.contains("my_extension"))
+  }
+
   test("raw-string and file:// inputs parse like paths (parsers.py:104-141)") {
     val path = fixture("basic.tsv")
     val content = new String(java.nio.file.Files.readAllBytes(
