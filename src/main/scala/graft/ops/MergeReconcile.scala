@@ -3,7 +3,6 @@ package graft.ops
 import graft.core._
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Merge, dedup and confidence/negation reconciliation.
@@ -16,7 +15,9 @@ import org.apache.spark.sql.types._
   *   - `remove_mappings` (src/sssom/util.py:292-316)
   *   - `compare_dataframes` diff (src/sssom/util.py:863-932)
   *
-  * Scale notes: window-max replaces the reference's driver-side max map;
+  * Scale notes: groupBy-max + join-back replaces the reference's
+  * driver-side max map (map-side partial aggregation, AQE-splittable
+  * joins, no window partitions anywhere in the reconcile);
   * the per-entity-pair negation reconcile runs as `flatMapGroups` keyed by
   * (subject_id, object_id) — group sizes are bounded by per-pair mapping
   * multiplicity (tiny), so the shuffle partitions evenly at any scale.
@@ -104,12 +105,18 @@ object MergeReconcile {
     val rank = coalesce(
       element_at(typedLit(Schema.predicateRank), col(PredicateId)),
       lit(Int.MaxValue))
-    val gw = Window.partitionBy(groupKeys.map(col): _*)
-    val groupPicked = confReconciled.join(groups, groupKeys, "left_semi")
+    // same groupBy+join-back shape as the confidence max above: no
+    // window partitions anywhere in the reconcile (windows get neither
+    // partial aggregation nor AQE skew splitting)
+    val ranked = confReconciled.join(groups, groupKeys, "left_semi")
       .withColumn("__rank", rank)
-      .withColumn("__min_rank", min(col("__rank")).over(gw))
+    val minRanks = ranked.groupBy(groupKeys.map(col): _*)
+      .agg(min(col("__rank")).as("__min_rank"))
+    val groupPicked = ranked
+      .join(minRanks, groupKeys)
       .filter(col("__rank") === col("__min_rank"))
       .drop("__rank", "__min_rank")
+      .select(confReconciled.columns.map(col).toIndexedSeq: _*)
 
     val result = groupPicked.unionByName(nonGroup).dropDuplicates()
     if (hadConf) result else result.drop(Confidence)
