@@ -128,6 +128,30 @@ object Bench {
     // 4-thread spin probes document whether pure-register compute scaled
     // 4x in that window (machine honest): if spin scales but the pipeline
     // doesn't, the gap is memory-bandwidth, not host throttle.
+    def writeBenchFile(json: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def arr(xs: Seq[(Long, Double)]) =
+      xs.map(x => f"${x._2}%.2f").mkString("[", ",", "]")
+    def scalingJson(partial: Boolean): String = {
+      val (triplesN, secN) = ns.minBy(_._2)
+      val (_, sec4N) = fs.minBy(_._2)
+      val eff = (secN / sec4N) / 4.0
+      val spinEff = spins1.zip(spins4)
+        .map { case (s1, s4) => s4 / (4 * s1) }.max
+      f"""{"n_threads":1,"n4_threads":4,"triples":$triplesN,""" +
+      f""""sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,""" +
+      f""""samples_sec_n":${arr(ns.toSeq)}%s,"samples_sec_4n":${arr(fs.toSeq)}%s,""" +
+      f""""triples_per_sec_n":${triplesN / secN}%.1f,""" +
+      f""""triples_per_sec_4n":${triplesN / sec4N}%.1f,""" +
+      f""""efficiency":$eff%.3f,""" +
+      f""""spin_efficiency":$spinEff%.3f,""" +
+      f""""efficiency_machine_normalized":${eff / math.min(1.0, spinEff)}%.3f,""" +
+      f""""spin_mops_1t":${spins1.map(x => f"$x%.1f").mkString("[", ",", "]")}%s,""" +
+      f""""spin_mops_4t":${spins4.map(x => f"$x%.1f").mkString("[", ",", "]")}%s,""" +
+      (if (partial) """"partial":true,""" else "") +
+      f""""protocol":"min over >=3 samples/level, extra budget buys 4t samples (steal-sensitive level); AQE off in scaling sessions (scale-independent driver latency); per-round 1t+4t spin probes measure delivered machine capacity; sandbox shows bursty CPU steal"}"""
+    }
     var round = 0
     var last4Cost = 0.0
     while (round < 3 || (round < 8 && elapsed + last4Cost < budgetSec)) {
@@ -138,14 +162,12 @@ object Bench {
       last4Cost = elapsed - t0
       if (round < 3) ns += runOnce(1, warm = round == 0)
       round += 1
+      // incremental checkpoint: if an external timeout kills this JVM
+      // mid-protocol (a steal storm can triple the wall time), the file
+      // still carries every sample collected so far
+      writeBenchFile(f"""{"metric":"total","value":0.0,"unit":"sec",""" +
+        s""""queries":{},"scaling":${scalingJson(partial = true)},"sf":"$sfDir"}""")
     }
-    val (triplesN, secN) = ns.minBy(_._2)
-    val (triples4N, sec4N) = fs.minBy(_._2)
-    // machine-capacity ratio in the best observed window: pure-register
-    // spin is immune to memory effects, so spin4/(4*spin1) ~ 1.0 means
-    // the host delivered 4 honest cores at least once
-    val spinEff = spins1.zip(spins4).map { case (s1, s4) => s4 / (4 * s1) }.max
-
     // --- headline query timings at the driver-requested parallelism ---
     val spark = session(cpus)
     val results = headline.flatMap { name =>
@@ -159,32 +181,14 @@ object Bench {
     }
     spark.stop()
 
-    val thrN = triplesN / secN
-    val thr4N = triples4N / sec4N
-    val efficiency = (thr4N / thrN) / 4.0
-
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    def arr(xs: Seq[(Long, Double)]) =
-      xs.map(x => f"${x._2}%.2f").mkString("[", ",", "]")
-    val scaling =
-      f"""{"n_threads":1,"n4_threads":4,"triples":$triplesN,""" +
-      f""""sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,""" +
-      f""""samples_sec_n":${arr(ns.toSeq)}%s,"samples_sec_4n":${arr(fs.toSeq)}%s,""" +
-      f""""triples_per_sec_n":$thrN%.1f,"triples_per_sec_4n":$thr4N%.1f,""" +
-      f""""efficiency":$efficiency%.3f,""" +
-      f""""spin_efficiency":$spinEff%.3f,""" +
-      f""""efficiency_machine_normalized":${efficiency / math.min(1.0, spinEff)}%.3f,""" +
-      f""""spin_mops_1t":${spins1.map(x => f"$x%.1f").mkString("[", ",", "]")}%s,""" +
-      f""""spin_mops_4t":${spins4.map(x => f"$x%.1f").mkString("[", ",", "]")}%s,""" +
-      f""""protocol":"min over >=3 samples/level, extra budget buys 4t samples (steal-sensitive level); AQE off in scaling sessions (scale-independent driver latency); per-round 1t+4t spin probes measure delivered machine capacity; sandbox shows bursty CPU steal"}"""
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
-      s""""queries":$qs,"scaling":$scaling,"sf":"$sfDir"}"""
+      s""""queries":$qs,"scaling":${scalingJson(partial = false)},"sf":"$sfDir"}"""
     // bare line on stdout (build.sbt sets outputStrategy := StdoutOutput so
     // sbt does not prefix it "[info] ") AND a file copy for the driver
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    writeBenchFile(json)
   }
 }
