@@ -92,7 +92,80 @@ object Components {
       converged = changes == 0
       iter += 1
     }
+    if (!converged)
+      // diameter exceeded the round cap — labels would be silently wrong
+      throw new IllegalStateException(
+        s"min-label CC did not converge in $maxIter rounds (graph diameter " +
+          "too large) — use connectedComponentsStar, which converges in " +
+          "O(log² n) rounds regardless of diameter")
     labels
+  }
+
+  /** Undirected connected components by alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the scale path for DEEP graphs: converges in
+    * O(log² n) rounds independent of component diameter, where min-label
+    * propagation needs O(diameter) rounds. Each half-round is a
+    * partial-agg groupBy + an equi-join (AQE-splittable); no giant
+    * component ever concentrates on one task. Mapping cliques are
+    * shallow, so `connectedComponents` stays the default; this is the
+    * drop-in alternative when components may be long chains.
+    *
+    * @return (node, component) with component = min member id, for every
+    *         edge endpoint (same contract as `connectedComponents`).
+    */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    var e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+
+    def checksum(d: DataFrame): (Long, String) = {
+      // decimal sum: ANSI mode throws on long overflow
+      val r = d.agg(count(lit(1)),
+        sum(xxhash64(col("src"), col("dst")).cast("decimal(27,0)")))
+        .collect()(0)
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+
+    def largeStar(d: DataFrame): DataFrame = {
+      val nbrs = d.union(d.select(col("dst").as("src"), col("src").as("dst")))
+      val mins = nbrs.groupBy(col("src"))
+        .agg(least(min(col("dst")), first(col("src"))).as("m"))
+      // attach every neighbor LARGER than u to u's minimum
+      nbrs.join(mins, "src")
+        .filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    def smallStar(d: DataFrame): DataFrame = {
+      val oriented = d.select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      // attach u and all its smaller neighbors to the overall minimum
+      val fromNbrs = oriented.join(mins, "u")
+        .select(col("v").as("src"), col("m").as("dst"))
+      val fromSelf = mins.select(col("u").as("src"), col("m").as("dst"))
+      fromNbrs.union(fromSelf)
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+    }
+
+    var prev = checksum(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    // fixpoint: every edge is (node → component root)
+    e.select(col("src").as("node"), col("dst").as("comp"))
+      .union(e.select(col("dst").as("node"), col("dst").as("comp")))
+      .groupBy("node").agg(min("comp").as("comp"))
   }
 
   /** Component labels for a mapping set, including the directed-cycle merge
