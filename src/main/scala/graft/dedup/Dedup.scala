@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   *  - MinHash + LSH: word-shingle min-hash signatures banded into buckets,
   *    candidate pairs only within buckets (no all-pairs);
   *  - SimHash: 64-bit hyperplane-free simhash from token hashes, near-dup
-  *    when Hamming distance ≤ k (banded into k+1 chunks — pigeonhole
-  *    guarantees full recall at the requested distance);
+  *    when Hamming distance ≤ k (banded on two-chunk combinations of k+2
+  *    chunks — pigeonhole guarantees full recall at the requested
+  *    distance with wide join keys);
   *  - n-gram Jaccard: verification metric on candidate pairs;
   *  - embedding cosine: see graft.sim.Similarity.
   *
@@ -110,41 +111,98 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b)).cast("long")
 
-  /** SimHash near-dups: band the 64-bit hash into `maxHamming + 1` chunks
+  /** SimHash near-dups: band the 64-bit hash into `maxHamming + 2` chunks
     * (widths as even as possible); by pigeonhole a pair within Hamming
-    * distance ≤ maxHamming differs in at most maxHamming chunks, so it
-    * shares at least one chunk EXACTLY — full recall with an equi-key
-    * join, never all-pairs. Only (chunk, chunk_val, doc_id, sig) rides
-    * the explode; the Hamming verify needs no text.
+    * distance ≤ maxHamming differs in at most maxHamming chunks, so at
+    * least TWO chunks match EXACTLY — the pair shares at least one of the
+    * C(m,2) two-chunk combination keys. Full recall with an equi-key
+    * join, never all-pairs, and the join key carries 2·⌊64/m⌋ bits of
+    * signature (both chunk values packed into one long) instead of the
+    * single-chunk ⌊64/(k+1)⌋ bits: at maxHamming = 8 that is ~12.8-bit
+    * values spread over 45 disjoint combination keys, vs the degenerate
+    * 7-bit single-chunk keys whose buckets grow as n/128 and turn the
+    * verify quadratic at corpus scale. Only (combo, key, doc_id, sig)
+    * rides the explode; the Hamming verify needs no text.
+    *
+    * Candidate-volume envelope (uniform-hash worst case): E[candidates] ≈
+    * C(m,2)·n²/2^(2·⌊64/m⌋); at maxHamming = 8 the coefficient is ~155×
+    * smaller than the single-chunk scheme's (k+1)/2^⌊64/(k+1)⌋. For
+    * guarantees much beyond ~10 bits on a 64-bit simhash the right scale
+    * move is a wider (128-bit) simhash, not more chunks.
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64,
-      s"maxHamming must be in [0, 63], got $maxHamming")
-    val nChunks = maxHamming + 1
-    val widths = Array.tabulate(nChunks)(i =>
-      64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
-    val offsets = widths.scanLeft(0)(_ + _)
-    val chunkVals = array((0 until nChunks).map { i =>
+    val (nChunks, widths, offsets, joined, _) =
+      simhashComboJoin(documents, maxHamming)
+    // canonical-route + Hamming verify in ONE map-side filter: a pair at
+    // distance d matches through C(m−d, 2) ≥ 1 combination keys; keeping
+    // only the row whose combo is the lexicographically-first clean
+    // (error-free) chunk pair makes each pair survive exactly once, so no
+    // pair-dedup shuffle follows the join at all. Pure codegen'd integer
+    // ops — a Scala UDF here costs ~2× the whole join (measured 11.8M
+    // candidate rows: 3 s join, +5.5 s UDF filter, +0.3 s this filter).
+    val x = col("sig_a").bitwiseXOR(col("sig_b"))
+    // bit i of cm = 1 iff chunk i of the xor is all-zero (clean)
+    val cm = (0 until nChunks).map { i =>
       val mask = if (widths(i) >= 64) -1L else (1L << widths(i)) - 1L
-      call_function("shiftrightunsigned", col("sig"), lit(offsets(i)))
-        .bitwiseAND(lit(mask))
-    }: _*)
-
-    val withSig = documents.select(col("doc_id"),
-      simhash(col("text")).as("sig"))
-    val chunked = withSig
-      .select(col("doc_id"), col("sig"),
-        posexplode(chunkVals).as(Seq("chunk", "chunk_val")))
-    val a = chunked.select(col("chunk"), col("chunk_val"),
-      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"),
-      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk", "chunk_val"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
-      .filter(col("hamming") <= maxHamming)
+      when(call_function("shiftrightunsigned", x, lit(offsets(i)))
+        .bitwiseAND(lit(mask)) === 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    // index of the lowest set bit b: bit_count((b & -b) - 1); clearing it
+    // (cm & (cm - 1)) yields the second-lowest. Hamming ≤ maxHamming
+    // guarantees ≥ 2 clean chunks, so both indexes exist on kept rows;
+    // on rejected rows the -1 underflow just yields a never-matching 64.
+    def lowestIdx(c: Column): Column =
+      call_function("bit_count", c.bitwiseAND(-c) - 1)
+    val canon = lowestIdx(cm) * nChunks + lowestIdx(cm.bitwiseAND(cm - 1))
+    joined
+      .filter(call_function("bit_count", x) <= maxHamming &&
+        col("combo") === canon)
+      .withColumn("hamming", call_function("bit_count", x).cast("long"))
       .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Distinct candidate pairs sharing a two-chunk combination key, before
+    * the exact-Hamming verify. `private[graft]` so the key-cardinality
+    * scale test can assert the candidate volume directly.
+    */
+  private[graft] def simhashCandidatePairs(documents: DataFrame,
+      maxHamming: Int): DataFrame =
+    simhashComboJoin(documents, maxHamming)._4
+      .dropDuplicates("doc_a", "doc_b")
+
+  private[graft] def simhashRawJoinCount(documents: DataFrame,
+      maxHamming: Int): Long =
+    simhashComboJoin(documents, maxHamming)._4.count()
+
+  private[graft] def simhashBuckets(documents: DataFrame,
+      maxHamming: Int): DataFrame =
+    simhashComboJoin(documents, maxHamming)._5
+
+  /** Shared banding core: explode each doc's C(m,2) two-chunk combination
+    * band keys (m = maxHamming + 2, single-pass JIT'd kernel) and
+    * self-equi-join on (combo, value bucket).
+    */
+  private def simhashComboJoin(documents: DataFrame, maxHamming: Int)
+      : (Int, Array[Int], Array[Int], DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 62,
+      s"maxHamming must be in [0, 62], got $maxHamming")
+    val nChunks = maxHamming + 2
+    val widths = TextHash.simhashChunkWidths(nChunks)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bands = udf((t: String) => TextHash.simhashBands(t, maxHamming))
+
+    val chunked = documents
+      .select(col("doc_id"), simhash(col("text")).as("sig"),
+        explode(bands(col("text"))).as("ck"))
+      .select(col("doc_id"), col("sig"),
+        col("ck._1").as("combo"), col("ck._2").as("key"))
+    val a = chunked.select(col("combo"), col("key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("combo"), col("key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val joined = a.join(b, Seq("combo", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+    (nChunks, widths, offsets, joined, chunked)
   }
 
   /** Canonical-survivor selection after near-dup clustering: keep the

@@ -162,6 +162,11 @@ object Components {
       prev = cur
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "refusing to return labels from an unconverged edge set; raise " +
+          "maxIter (expected rounds grow O(log² n))")
     // fixpoint: every edge is (node → component root)
     e.select(col("src").as("node"), col("dst").as("comp"))
       .union(e.select(col("dst").as("node"), col("dst").as("comp")))

@@ -260,9 +260,11 @@ object SssomRdf {
     val docPrefixes = PrefixMap(prefixDecls)
     val prefixes = PrefixMap.builtIn.chain(docPrefixes)
 
+    // built-ins-win priority: expansion goes through the chained map only
+    // (document prefixes cannot shadow SSSOM built-ins like skos/owl —
+    // same priority the reference enforces by rejecting redefinition)
     def expandRes(r: Res): String =
-      if (r.iri) r.value else docPrefixes.expand(r.value)
-        .orElse(prefixes.expand(r.value)).getOrElse(r.value)
+      if (r.iri) r.value else prefixes.expand(r.value).getOrElse(r.value)
     def asCurie(r: Res): String = {
       val iri = expandRes(r)
       prefixes.compress(iri).getOrElse(iri)
@@ -433,6 +435,9 @@ object SssomRdf {
         val slot = cols(ci)
         row.get(ci) match {
           case null => Seq.empty
+          // NaN/Infinity have no Turtle numeric-literal syntax — under the
+          // column null discipline a non-finite score is absent, not a token
+          case d: Double if d.isNaN || d.isInfinite => Seq.empty
           // shortest-round-trip repr (valid turtle double/decimal syntax):
           // unlike rdflib's %e it loses no precision on re-parse
           case d: Double => Seq(slot -> d.toString)

@@ -140,6 +140,28 @@ object SqlOps {
     if (enumHit) "1.1" else "1.0"
   }
 
+  /** Spec versions the SSSOM model defines (reference SssomVersionEnum —
+    * parse_sssom_version, constants.py:367-378, validates against it).
+    */
+  private val knownVersions = Set((1, 0), (1, 1))
+
+  /** Parse "X.Y" into a comparable (major, minor) tuple, raising on
+    * unparseable or unknown versions (reference `parse_sssom_version`,
+    * constants.py:367-378, which rejects via the SssomVersionEnum).
+    */
+  def parseSssomVersion(version: String): (Int, Int) = {
+    val parsed = version.split("\\.", -1) match {
+      case Array(ma, mi) if ma.forall(_.isDigit) && mi.forall(_.isDigit) &&
+        ma.nonEmpty && mi.nonEmpty => (ma.toInt, mi.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"invalid SSSOM version string: '$version' (expected 'X.Y')")
+    }
+    if (!knownVersions.contains(parsed))
+      throw new IllegalArgumentException(
+        s"unknown SSSOM spec version: '$version' (known: 1.0, 1.1)")
+    parsed
+  }
+
   /** Force compliance with a target spec version (reference
     * `enforce_version`, util.py:508-575): slots added after the target
     * are dropped from table and metadata; enum values added after the
@@ -148,23 +170,24 @@ object SqlOps {
     */
   def enforceVersion(msdf: Msdf, version: String = "1.0",
       strict: Boolean = false): Msdf = {
+    val target = parseSssomVersion(version)
+    val pre11 = target._1 < 1 || (target._1 == 1 && target._2 < 1)
     val known = (Schema.mappingSlots ++ Schema.mappingSetSlots).toSet ++
       slotsAddedIn11
     def keep(name: String): Boolean = {
-      if (known.contains(name))
-        version != "1.0" || !slotsAddedIn11.contains(name)
+      if (known.contains(name)) !pre11 || !slotsAddedIn11.contains(name)
       else !strict // unknown slot: kept unless strict (no extension model)
     }
     val dropCols = msdf.df.columns.filterNot(keep)
     var df = msdf.df.drop(dropCols.toIndexedSeq: _*)
-    if (version == "1.0")
+    if (pre11)
       enumValuesAddedIn11.foreach { case (slot, v) =>
         if (df.columns.contains(slot))
           df = df.withColumn(slot, when(col(slot) === v, lit("")).otherwise(col(slot)))
       }
     val meta = msdf.meta.filter(kv => keep(kv._1))
       .filterNot { case (k, mv) =>
-        version == "1.0" && enumValuesAddedIn11.contains((k, mv.asString))
+        pre11 && enumValuesAddedIn11.contains((k, mv.asString))
       }
     Msdf(df, meta, msdf.prefixes)
   }

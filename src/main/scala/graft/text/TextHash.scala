@@ -123,6 +123,46 @@ object TextHash extends Serializable {
     sig
   }
 
+  /** Even chunk widths for an m-way split of 64 bits. */
+  def simhashChunkWidths(m: Int): Array[Int] =
+    Array.tabulate(m)(i => 64 / m + (if (i < 64 % m) 1 else 0))
+
+  /** All C(m,2) two-chunk combination band keys of a text's 64-bit
+    * simhash, m = maxHamming + 2: one (combo = i·m + j, mix(v_i, v_j))
+    * pair per chunk combination. Computed in a single pass so the
+    * signature is hashed ONCE per document (Catalyst does not CSE —
+    * expressing the chunking as column expressions over a sig alias
+    * re-evaluates the simhash per chunk reference after project
+    * collapse). The value bucket is hashed, not packed: a hash collision
+    * only adds a false candidate (removed by the exact-Hamming verify);
+    * equal chunk values always produce equal buckets, so recall is
+    * unaffected.
+    */
+  def simhashBands(text: String, maxHamming: Int): Array[(Int, Long)] = {
+    val m = maxHamming + 2
+    val sig = simhash64(text)
+    val widths = simhashChunkWidths(m)
+    val vals = new Array[Long](m)
+    var off = 0; var i = 0
+    while (i < m) {
+      val w = widths(i)
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      vals(i) = (sig >>> off) & mask
+      off += w; i += 1
+    }
+    val out = new Array[(Int, Long)](m * (m - 1) / 2)
+    var idx = 0; i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        out(idx) = (i * m + j, mix(mix(0x5eedL, vals(i)), vals(j)))
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Sign-random-projection signature of a float vector: bit j = sign of
     * the dot product with a pseudo-hyperplane whose ±1 weights come from
     * mix(seed·j, dim index).

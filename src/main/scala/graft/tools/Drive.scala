@@ -31,6 +31,7 @@ object Drive {
 
   def main(args: Array[String]): Unit = {
     if (sys.env.contains("DRIVE_SMOKE")) { smoke(); return }
+    if (sys.env.contains("DRIVE_SIMHASH")) { simhashCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
     import graft.kg.KgPipeline
     import graft.ops.{MergeReconcile, TripleEmit}
@@ -73,6 +74,34 @@ object Drive {
         KgPipeline.buildGraph(KgPipeline.extractMappings(s, cfg)).count()
       }
       profiled(s)
+      s.stop()
+    }
+  }
+
+  /** Timing + row-parity check for the rewritten simhash banding. */
+  def simhashCheck(): Unit = {
+    for (mult <- Seq(1, 4)) {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val s = SparkSession.builder().master("local[32]")
+        .appName(s"drive-sim-$mult")
+        .config("spark.sql.shuffle.partitions", (32 * mult).toString)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      val docs = s.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def time(f: => Long): (Long, Double) = {
+        val t0 = System.nanoTime(); val n = f
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val pairs = (1 to 3).map(_ =>
+        time(graft.dedup.Dedup.simhashNearDups(docs, maxHamming = 8).count()))
+      val raws = (1 to 3).map(_ =>
+        time(graft.dedup.Dedup.simhashRawJoinCount(docs, 8)))
+      println(f"sf0.1 parts=${32 * mult} nearDups min=${pairs.map(_._2).min}%.2f " +
+        f"(n=${pairs.head._1}) rawJoin min=${raws.map(_._2).min}%.2f (n=${raws.head._1}) " +
+        s"all=[${pairs.map(t => f"${t._2}%.2f").mkString(",")} | " +
+        s"${raws.map(t => f"${t._2}%.2f").mkString(",")}]")
       s.stop()
     }
   }

@@ -6,10 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Dedup-operator specs. The LSH variants are verified against brute
   * force: simhash banding guarantees FULL recall at the requested Hamming
-  * distance (pigeonhole over maxHamming+1 chunks), so its output must
-  * EQUAL the all-pairs result; minhash banding is probabilistic, so its
-  * output must be a subset of the all-pairs result with every planted
-  * near-dup found.
+  * distance (pigeonhole: ≥ 2 clean chunks out of maxHamming+2, so some
+  * two-chunk combination key matches), so its output must EQUAL the
+  * all-pairs result; minhash banding is probabilistic, so its output must
+  * be a subset of the all-pairs result with every planted near-dup found.
   */
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -55,6 +55,39 @@ class DedupSpec extends SparkSpec {
       assert(lsh.exceptAll(brute).count() == 0, s"false positives at $maxH")
       assert(brute.exceptAll(lsh).count() == 0, s"missed pairs at $maxH")
     }
+  }
+
+  test("simhash banding keys are wide: candidate volume far below all-pairs") {
+    // corpus of unrelated docs with DISJOINT token sets (docs sharing a
+    // vocabulary have correlated simhashes by design — that is the
+    // operator working, not the banding failing), so signatures are
+    // uniform and the candidate volume is bounded by
+    // C(m,2)·C(n,2)/2^(2·⌊64/m⌋). At maxHamming = 8 (m = 10, ⌊64/m⌋ = 6 ⇒
+    // ≥ 12-bit packed keys) that is ~1.1% of all pairs in expectation —
+    // the old single-chunk scheme's 7-bit keys admitted ≥ 9/128 ≈ 7% BY
+    // KEY-SPACE ALONE. Assert the volume and that no join key is ever
+    // narrower than 12 bits of signature.
+    val n = 400
+    val rand = (0 until n).map { i =>
+      (1000L + i, (0 until 60).map(j =>
+        java.lang.Long.toHexString(TextHash.mix(i.toLong * 61 + 7, j.toLong)))
+        .mkString(" "))
+    }
+    val df = rand.toDF("doc_id", "text")
+    val allPairs = n.toLong * (n - 1) / 2
+    val cands = Dedup.simhashCandidatePairs(df, maxHamming = 8).count()
+    assert(cands < allPairs / 25,
+      s"candidate volume $cands vs all-pairs $allPairs — banding degenerated")
+    // static key-width guarantees: ≥ 12 bits of signature through the
+    // supported sweet spot (maxHamming ≤ 8, the driver's setting), and for
+    // ANY distance the two-chunk key is ~2× the old single-chunk width
+    // 64/(maxH+1) — beyond ~10 the documented scale answer is a wider
+    // (128-bit) simhash, not more chunks
+    for (maxH <- 0 to 8)
+      assert(2 * (64 / (maxH + 2)) >= 12, s"key width collapsed at maxHamming=$maxH")
+    for (maxH <- 0 to 30)
+      assert(2 * (64 / (maxH + 2)) >= 64 / (maxH + 1),
+        s"combination key narrower than single-chunk at maxHamming=$maxH")
   }
 
   test("minhash near-dups: subset of brute force, planted near-dups found") {

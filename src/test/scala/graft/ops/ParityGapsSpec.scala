@@ -113,6 +113,11 @@ class ParityGapsSpec extends SparkSpec {
         "subject_type"))
     assert(SqlOps.enforceVersion(unknown, "1.1")
       .df.columns.contains("my_extension"))
+    // unparseable / unknown versions raise (reference parse_sssom_version
+    // rejects via SssomVersionEnum, constants.py:367-378)
+    for (bad <- Seq("2.0", "0.9", "1", "1.0.1", "", "garbage"))
+      intercept[IllegalArgumentException](SqlOps.enforceVersion(v10, bad))
+    assert(SqlOps.parseSssomVersion("1.1") == ((1, 1)))
   }
 
   test("raw-string and file:// inputs parse like paths (parsers.py:104-141)") {
