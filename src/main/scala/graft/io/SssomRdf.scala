@@ -386,10 +386,11 @@ object SssomRdf {
   private val anyUriSetSlots = Set("mapping_set_id", "license")
   private val dateSlots = Set("mapping_date", "publication_date")
 
+  // note: predicate_modifier renders as the plain literal "Not" (both
+  // reference goldens, basic.tsv.rdf:1548 / basic.tsv.owl) — the
+  // sssom:NegatedPredicate resource is a legacy INPUT form the reader maps
   private def renderValue(slot: String, v: String): String =
-    if (slot == Schema.PredicateModifier && v == Schema.PredicateModifierNot)
-      "sssom:NegatedPredicate"
-    else if (typeSlots.contains(slot))
+    if (typeSlots.contains(slot))
       entityTypeToRes.getOrElse(v, "\"" + escape(v) + "\"")
     else if (isResourceSlot(slot) && PrefixMap.looksLikeCurie(v)) v
     else if (isResourceSlot(slot) && PrefixMap.looksLikeIri(v)) s"<$v>"
@@ -403,59 +404,21 @@ object SssomRdf {
     * rows are collected on the driver, like the reference's in-memory
     * rdflib Graph.
     */
-  def toTurtle(msdf: Msdf): String = {
+  def toTurtle(msdfIn: Msdf): String = {
+    // inverse of the parse-time propagate(): the reference renders the df
+    // with its PHYSICAL columns — a propagatable slot that is uniform
+    // across rows belongs on the set node, not on every axiom
+    val msdf = msdfIn.condense()
     val sb = new StringBuilder
-    // prefix block: document prefixes + the vocabularies the shape uses
-    val extra = Vector("xsd" -> "http://www.w3.org/2001/XMLSchema#",
-      "dcterms" -> "http://purl.org/dc/terms/",
-      "pav" -> "http://purl.org/pav/")
-    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    (msdf.prefixes.entries ++ extra).foreach { case (p, u) =>
-      if (!seen.contains(p)) seen(p) = u
-    }
-    seen.toVector.sortBy(_._1).foreach { case (p, u) =>
-      sb.append(s"@prefix $p: <$u> .\n")
-    }
+    sb.append(prefixBlock(msdf))
     sb.append("\n[] a sssom:MappingSet ;\n")
-
-    def orderKey(slot: String): String = qname(slot)
-    msdf.meta.filterNot(_._1 == "curie_map").sortBy(m => orderKey(m._1))
-      .foreach {
-        case (k, MetaString(v)) if v.nonEmpty =>
-          sb.append(s"    ${qname(k)} ${renderValue(k, v)} ;\n")
-        case (k, MetaList(vs)) if vs.nonEmpty =>
-          sb.append(s"    ${qname(k)} " +
-            vs.map(renderValue(k, _)).mkString(",\n        ") + " ;\n")
-        case _ => ()
-      }
+    metaLines(msdf, "    ").foreach(l => sb.append(l + " ;\n"))
 
     val cols = msdf.df.columns
     val axioms = msdf.df.collect().map { row =>
-      val slotVals = cols.indices.flatMap { ci =>
-        val slot = cols(ci)
-        row.get(ci) match {
-          case null => Seq.empty
-          // NaN/Infinity have no Turtle numeric-literal syntax — under the
-          // column null discipline a non-finite score is absent, not a token
-          case d: Double if d.isNaN || d.isInfinite => Seq.empty
-          // shortest-round-trip repr (valid turtle double/decimal syntax):
-          // unlike rdflib's %e it loses no precision on re-parse
-          case d: Double => Seq(slot -> d.toString)
-          case v: String if v.isEmpty => Seq.empty
-          case v: String if Schema.multivaluedSlots.contains(slot) =>
-            v.split("\\|").toSeq.filter(_.nonEmpty).map(slot -> _)
-          case v => Seq(slot -> v.toString)
-        }
-      }
-      val lines = slotVals
-        .map { case (slot, v) =>
-          val rendered =
-            if (Schema.doubleSlots.contains(slot)) v // already %e-formatted
-            else renderValue(slot, v)
-          s"            ${qname(slot)} $rendered"
-        }
-        .sorted
-      "[ a owl:Axiom ;\n" + lines.mkString(" ;\n") + " ]"
+      "[ a owl:Axiom ;\n" +
+        axiomSlotLines(cols, row, "            ").map(_._2)
+          .mkString(" ;\n") + " ]"
     }
     if (axioms.nonEmpty)
       sb.append("    sssom:mappings " + axioms.mkString(",\n        ") + " .\n")
@@ -465,6 +428,68 @@ object SssomRdf {
     }
     sb.result()
   }
+
+  /** Prefix declarations: document prefixes + the vocabularies the reified
+    * shape uses, alphabetical.
+    */
+  private[io] def prefixBlock(msdf: Msdf): String = {
+    val extra = Vector("xsd" -> "http://www.w3.org/2001/XMLSchema#",
+      "dcterms" -> "http://purl.org/dc/terms/",
+      "pav" -> "http://purl.org/pav/")
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    (msdf.prefixes.entries ++ extra).foreach { case (p, u) =>
+      if (!seen.contains(p)) seen(p) = u
+    }
+    seen.toVector.sortBy(_._1)
+      .map { case (p, u) => s"@prefix $p: <$u> .\n" }.mkString
+  }
+
+  /** Rendered set-metadata lines (no trailing separators), qname-sorted. */
+  private[io] def metaLines(msdf: Msdf, indent: String): Seq[String] =
+    msdf.meta.filterNot(_._1 == "curie_map").sortBy(m => qname(m._1))
+      .flatMap {
+        case (k, MetaString(v)) if v.nonEmpty =>
+          Seq(s"$indent${qname(k)} ${renderValue(k, v)}")
+        case (k, MetaList(vs)) if vs.nonEmpty =>
+          Seq(s"$indent${qname(k)} " +
+            vs.map(renderValue(k, _)).mkString(",\n" + indent + "    "))
+        case _ => Seq.empty
+      }
+
+  /** Rendered (slot, line) pairs of one mapping row's reified-axiom body,
+    * line-sorted; multivalued slots split, empty/null/non-finite skipped.
+    */
+  private[io] def axiomSlotLines(cols: Array[String],
+      row: org.apache.spark.sql.Row, indent: String): Seq[(String, String)] = {
+    val slotVals = cols.indices.flatMap { ci =>
+      val slot = cols(ci)
+      row.get(ci) match {
+        case null => Seq.empty
+        // NaN/Infinity have no Turtle numeric-literal syntax — under the
+        // column null discipline a non-finite score is absent, not a token
+        case d: Double if d.isNaN || d.isInfinite => Seq.empty
+        // shortest-round-trip repr (valid turtle double/decimal syntax):
+        // unlike rdflib's %e it loses no precision on re-parse
+        case d: Double => Seq(slot -> d.toString)
+        case v: String if v.isEmpty => Seq.empty
+        case v: String if Schema.multivaluedSlots.contains(slot) =>
+          v.split("\\|").toSeq.filter(_.nonEmpty).map(slot -> _)
+        case v => Seq(slot -> v.toString)
+      }
+    }
+    slotVals
+      .map { case (slot, v) =>
+        val rendered =
+          if (Schema.doubleSlots.contains(slot)) v // already formatted
+          else renderValue(slot, v)
+        slot -> s"$indent${qname(slot)} $rendered"
+      }
+      .sortBy(_._2)
+  }
+
+  private[io] def slotQName(slot: String): String = qname(slot)
+  private[io] def renderSlotValue(slot: String, v: String): String =
+    renderValue(slot, v)
 
   def write(msdf: Msdf, path: String): Unit = {
     val p = Paths.get(path)

@@ -121,6 +121,15 @@ object Drive {
     println(s"obographs rows=${obo.df.count()}")
     val inv = graft.ops.Invert.invertMappings(obo.df, mergeInverted = false)
     println(s"inverted rows=${inv.count()}")
+    val tsv = graft.io.SssomTsv.read(s,
+      "/root/repo/src/test/resources/sssom/basic.tsv")
+    val owlPath = java.nio.file.Files.createTempDirectory("drv").toString + "/basic.owl"
+    graft.io.SssomOwl.write(tsv, owlPath)
+    val owlText = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(owlPath)))
+    println(s"owl write: ${owlText.linesIterator.count(_.contains("a owl:Axiom"))} axioms, " +
+      s"${owlText.linesIterator.count(_.contains("a owl:Class"))} class typings, " +
+      s"ontology=${owlText.contains("a owl:Ontology")}")
     val entry = graft.SparkEntry.entry(s).count()
     println(s"entry rows=$entry")
     s.stop()
