@@ -108,17 +108,31 @@ object SssomTsv {
     */
   def read(spark: SparkSession, path: String,
       extraMeta: Vector[(String, MetaValue)] = Vector.empty,
-      metaPath: Option[String] = None): Msdf = {
+      metaPath: Option[String] = None,
+      fetcher: Option[String => java.io.InputStream] = None): Msdf = {
     // flexible input forms (reference `_open_input`, parsers.py:104-141):
     // raw string content (contains a newline), http(s) URL, file:// URL,
-    // .gz or plain path. http(s) needs network — this build is zero-egress.
+    // .gz or plain path. http(s) goes through the injected `fetcher`
+    // (url → stream) — the reference fetches via requests
+    // (parsers.py:116-120); this build is zero-egress, so there is no
+    // default network fetcher and the branch stays testable offline.
     if (path.contains("\n") || path.contains("\r"))
       return readFromString(spark, path, extraMeta = extraMeta)
-    if (path.startsWith("http://") || path.startsWith("https://"))
-      throw new UnsupportedOperationException(
+    if (path.startsWith("http://") || path.startsWith("https://")) {
+      val f = fetcher.getOrElse(throw new UnsupportedOperationException(
         "http(s) input requires network access (reference fetches via " +
           "requests, parsers.py:116-120); this build is offline — " +
-          "download the file and pass a local or file:// path")
+          "download the file and pass a local or file:// path, or inject " +
+          "a fetcher"))
+      val raw = f(path)
+      val in = if (path.replaceAll("\\?.*$", "").endsWith(".gz"))
+        new java.util.zip.GZIPInputStream(raw) else raw
+      val content = try {
+        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+      return readFromString(spark, content, sep = inferSeparator(
+        path.replaceAll("\\?.*$", "")), extraMeta = extraMeta)
+    }
     val sep = inferSeparator(path)
     val headerLines = readHeaderLines(spark, path)
     // external-metadata mode (reference io.py:171-203): a companion YAML

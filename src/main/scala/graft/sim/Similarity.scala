@@ -55,30 +55,55 @@ object Similarity {
     f(vec)
   }
 
-  /** LSH ANN: candidates share the full SRP signature (or one of `tables`
-    * independent signatures), re-ranked by exact cosine.
+  /** Signature width targeting ~`perBucket` corpus vectors per bucket, so
+    * expected candidates per query stay ≈ tables · perBucket no matter the
+    * corpus size (constant per-query work; total candidate volume grows
+    * linearly with queries, never quadratically with the corpus). Clamped
+    * to [6, 24]: beyond ~24 bits the per-table recall of a θ = 60°
+    * neighbor, (1 − θ/π)^bits, drops below ~2·10⁻⁶ — at that corpus scale
+    * raise `tables` (or multiprobe) rather than widening signatures.
+    */
+  def autoBits(corpusSize: Long, perBucket: Long = 16L): Int = {
+    val buckets = math.max(1L, corpusSize / perBucket)
+    val ceilLog2 =
+      if (buckets <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.min(24, math.max(6, ceilLog2))
+  }
+
+  /** LSH ANN: candidates share one of `tables` independent SRP signatures,
+    * re-ranked by exact cosine. `bits <= 0` (default) derives the
+    * signature width from the corpus size via `autoBits` — one count()
+    * job, negligible next to the signature scan.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-      bits: Int = 12, tables: Int = 4): DataFrame = {
-    // per-table signatures with table-specific seed
-    val c = corpus.select(col("vec_id").as("corpus_id"),
-      col("embedding").as("corpus_vec"))
-      .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
-      .withColumn("sig", srpTableSig(col("corpus_vec"), bits))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("query_vec"))
-      .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
-      .withColumn("sig", srpTableSig(col("query_vec"), bits))
-
-    val cands = c.join(q, Seq("table", "sig"))
-      .filter(col("corpus_id") =!= col("query_id"))
-      .dropDuplicates("query_id", "corpus_id")
+      bits: Int = -1, tables: Int = 4): DataFrame = {
+    val cands = lshCandidates(corpus, queries, bits, tables)
       .withColumn("cos", cosine(col("corpus_vec"), col("query_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cos", "rank")
+  }
+
+  /** Distinct (query, corpus) candidate pairs sharing a table signature —
+    * the pre-rerank volume (`private[graft]` for the scaling test).
+    */
+  private[graft] def lshCandidates(corpus: DataFrame, queries: DataFrame,
+      bits: Int, tables: Int): DataFrame = {
+    val b = if (bits > 0) bits else autoBits(corpus.count())
+    // per-table signatures with table-specific seed
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("corpus_vec"))
+      .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("sig", srpTableSig(col("corpus_vec"), b))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_vec"))
+      .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
+      .withColumn("sig", srpTableSig(col("query_vec"), b))
+    c.join(q, Seq("table", "sig"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "corpus_id")
   }
 
   /** Table-seeded SRP signature (seed derived from the `table` column). */

@@ -134,4 +134,28 @@ class ParityGapsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("offline"))
   }
+
+  test("http(s) input parses through an injected fetcher (parsers.py:116-120)") {
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(fixture("basic.tsv")))
+    var fetched: String = null
+    val fetcher = (url: String) => {
+      fetched = url
+      new java.io.ByteArrayInputStream(bytes): java.io.InputStream
+    }
+    val msdf = SssomTsv.read(spark, "https://example.org/basic.tsv",
+      fetcher = Some(fetcher))
+    assert(fetched == "https://example.org/basic.tsv")
+    assert(msdf.df.count() == 141)
+    assert(msdf.prefixes.contains("x"))
+    // gzipped URL content is transparently decompressed
+    val gz = new java.io.ByteArrayOutputStream()
+    locally {
+      val o = new java.util.zip.GZIPOutputStream(gz)
+      o.write(bytes); o.close()
+    }
+    val gzMsdf = SssomTsv.read(spark, "https://example.org/basic.tsv.gz",
+      fetcher = Some(_ => new java.io.ByteArrayInputStream(gz.toByteArray)))
+    assert(gzMsdf.df.count() == 141)
+  }
 }

@@ -52,6 +52,30 @@ class SimilaritySpec extends SparkSpec {
     assert((annDefault & brute).size.toDouble / brute.size >= 0.5)
   }
 
+  test("autoBits keeps per-query candidate volume bounded as the corpus grows") {
+    // random (cluster-free) embeddings at two corpus sizes: with the
+    // signature width derived from corpus size, expected candidates per
+    // query stay ≈ tables · perBucket — total candidate volume must grow
+    // FAR slower than the corpus (sub-quadratic scaling evidence), and the
+    // width itself must grow with log n
+    def randEmb(n: Long) = (0L until n).map { i =>
+      (i, Array.tabulate(16)(d =>
+        ((TextHash.mix(i * 7 + 3, d.toLong) % 2001) - 1000) / 1000.0f))
+    }.toDF("vec_id", "embedding")
+    val (small, large) = (randEmb(1024), randEmb(16384))
+    val queries = randEmb(8)
+    val candSmall = Similarity.lshCandidates(small, queries, -1, 4).count()
+    val candLarge = Similarity.lshCandidates(large, queries, -1, 4).count()
+    assert(candSmall > 0)
+    // 16x corpus, constant target occupancy: candidate volume must stay
+    // within a small constant factor (SRP buckets are skewed, so occupancy
+    // is not perfectly flat), nowhere near the 16x a fixed width gives
+    assert(candLarge <= 4 * candSmall,
+      s"candidates grew $candSmall -> $candLarge on a 16x corpus")
+    assert(Similarity.autoBits(1024) < Similarity.autoBits(16384))
+    assert(Similarity.autoBits(1L << 40) == 24) // clamp: raise tables instead
+  }
+
   test("cosine kernel: unit self-similarity, zero-vector guard") {
     val v = Seq(1.0f, 2.0f, 3.0f)
     assert(math.abs(TextHash.cosine(v, v) - 1.0) < 1e-12)
