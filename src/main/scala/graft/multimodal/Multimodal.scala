@@ -72,12 +72,13 @@ object Multimodal {
     * the stub duration — an explode over a deterministic frame index range
     * (the decode of each frame is again the stub boundary).
     */
-  def sampleFrames(features: DataFrame, everyMs: Long = 10000L): DataFrame =
+  def sampleFrames(features: DataFrame, everyMs: Long = 10000L,
+      keyCol: String = "doc_id"): DataFrame =
     features.filter(col("media_type") === "video/mp4")
       .withColumn("frame_ms", explode(sequence(lit(0L), col("duration_ms"),
         lit(everyMs))))
       .withColumn("frame_id",
-        concat(col("doc_id"), lit("#"), col("frame_ms")))
+        concat(col(keyCol), lit("#"), col("frame_ms")))
 
   /** Resize contract: pure metadata transform here (stub); the binary
     * payload transform would ride the same partition batching as

@@ -130,6 +130,16 @@ object Drive {
     println(s"owl write: ${owlText.linesIterator.count(_.contains("a owl:Axiom"))} axioms, " +
       s"${owlText.linesIterator.count(_.contains("a owl:Class"))} class typings, " +
       s"ontology=${owlText.contains("a owl:Ontology")}")
+    val scan = graft.io.SparqlScan.queryMappings(s,
+      graft.io.SparqlScan.EndpointConfig(url = "http://e/sparql"),
+      executor = Some(_ => Seq(Map(
+        "subject_id" -> "http://www.w3.org/2004/02/skos/core#X",
+        "subject_label" -> "x",
+        "predicate_id" -> "http://www.w3.org/2004/02/skos/core#exactMatch",
+        "object_id" -> "http://www.w3.org/2004/02/skos/core#Y",
+        "mapping_provider" -> "http://g/m"))))
+    println(s"sparql scan rows=${scan.df.count()} " +
+      s"first=${scan.df.collect()(0).getString(0)}")
     val entry = graft.SparkEntry.entry(s).count()
     println(s"entry rows=$entry")
     s.stop()
