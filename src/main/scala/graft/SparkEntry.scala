@@ -210,6 +210,9 @@ object SparkEntry {
       Similarity.lshTopK(emb, queriesDf, k = 10)
     }),
 
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.4)),
+
     // ---- near-dup detection (LSH family; rows-only checks) ----
     "q_doc_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)),
@@ -425,6 +428,16 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY query_id
         |    ORDER BY cos DESC, corpus_id ASC) AS BIGINT) AS rank FROM s)
         |SELECT query_id, corpus_id, cos, rank FROM r WHERE rank <= 10""".stripMargin,
+
+    // embedding-cosine near-dup pairs: kernel is bit-identical to
+    // list_cosine_similarity over DOUBLE[] (sequential f64 accumulation,
+    // dot/(sqrt(na)*sqrt(nb))), so `cos` hash-compares exactly
+    "q_embed_neardup" ->
+      """WITH p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])) AS cos
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""".stripMargin,
 
     "q_multimodal_features" ->
       """WITH m AS (SELECT doc_id, md5(text) AS x FROM documents),

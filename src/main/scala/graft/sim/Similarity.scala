@@ -86,6 +86,35 @@ object Similarity {
       .select("query_id", "corpus_id", "cos", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (the training-data dedup
+    * operator over embeddings): unordered pairs with cosine ≥ threshold.
+    *
+    *  - `exact = true`: all-pairs with one side broadcast — the
+    *    correctness baseline (O(n²) JIT'd dot products; fine to ~10⁵
+    *    vectors, and the DuckDB-oracle-able form);
+    *  - `exact = false`: SRP-LSH bucketed candidates verified by exact
+    *    cosine — the corpus-scale path (candidate volume bounded via
+    *    `autoBits`; recall < 1, the standard LSH dedup tradeoff).
+    */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double,
+      exact: Boolean = true, tables: Int = 4): DataFrame = {
+    val pairs =
+      if (exact) {
+        val a = embeddings.select(col("vec_id").as("vec_a"),
+          col("embedding").as("va"))
+        val b = embeddings.select(col("vec_id").as("vec_b"),
+          col("embedding").as("vb"))
+        a.crossJoin(broadcast(b)).filter(col("vec_a") < col("vec_b"))
+      } else
+        lshCandidates(embeddings, embeddings, -1, tables)
+          .filter(col("query_id") < col("corpus_id"))
+          .select(col("query_id").as("vec_a"), col("query_vec").as("va"),
+            col("corpus_id").as("vec_b"), col("corpus_vec").as("vb"))
+    pairs.withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   /** Distinct (query, corpus) candidate pairs sharing a table signature —
     * the pre-rerank volume (`private[graft]` for the scaling test).
     */

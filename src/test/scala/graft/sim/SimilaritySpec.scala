@@ -52,6 +52,23 @@ class SimilaritySpec extends SparkSpec {
     assert((annDefault & brute).size.toDouble / brute.size >= 0.5)
   }
 
+  test("cosineNearDups: exact matches manual all-pairs; LSH path is a high-recall subset") {
+    val threshold = 0.9 // in-cluster pairs sit well above, cross-cluster below
+    val manual = (for {
+      (i, vi) <- vecs; (j, vj) <- vecs if i < j
+      c = TextHash.cosine(vi.toSeq, vj.toSeq) if c >= threshold
+    } yield (i, j)).toSet
+    assert(manual.nonEmpty)
+    val exact = Similarity.cosineNearDups(emb, threshold)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(exact == manual)
+    val lsh = Similarity.cosineNearDups(emb, threshold, exact = false,
+      tables = 8).select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(manual)) // precision 1: candidates are cos-verified
+    assert((lsh & manual).size.toDouble / manual.size >= 0.8,
+      s"LSH near-dup recall ${(lsh & manual).size.toDouble / manual.size}")
+  }
+
   test("autoBits keeps per-query candidate volume bounded as the corpus grows") {
     // random (cluster-free) embeddings at two corpus sizes: with the
     // signature width derived from corpus size, expected candidates per
