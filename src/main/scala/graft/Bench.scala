@@ -143,16 +143,14 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       bytes.sum() / 0.5 / 1e9 // GB/s streamed from DRAM
     }
-    // Per-sample record: seconds, plus the spin probes taken IMMEDIATELY
-    // before and after the run — min(pre, post) is the window's delivered
-    // machine capacity. A sample measured in a depressed window is
-    // DISCARDED (not merely out-voted by min()): round-2 showed min-of-3
-    // still has ~25% variance when every draw can be stolen.
-    final case class Sample(sec: Double, spinPre: Double, spinPost: Double,
-        memPre: Double, memPost: Double) {
-      def windowSpin: Double = math.min(spinPre, spinPost)
-      def windowMem: Double = math.min(memPre, memPost)
-    }
+    // Per-sample record: seconds, plus the spin and DRAM-bandwidth probes
+    // taken IMMEDIATELY before and after the run — min(pre, post) is the
+    // window's delivered machine capacity. A sample measured in a
+    // depressed window is DISCARDED (not merely out-voted by min()):
+    // round-2 showed min-of-3 still has ~25% variance when every draw can
+    // be stolen. Gating/convergence rules live in BenchProtocol (pure,
+    // unit-tested against recorded sample vectors from real runs).
+    import BenchProtocol.{Sample, accepted, converged}
     val fs = scala.collection.mutable.ArrayBuffer.empty[Sample]
     val ns = scala.collection.mutable.ArrayBuffer.empty[Sample]
     val pairedEffs = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -163,30 +161,6 @@ object Bench {
       val (t, sec) = runOnce(threads, warm)
       if (threads == 1) triplesN = t
       Sample(sec, spinPre, spinScore(threads), memPre, memScore(threads))
-    }
-    // acceptance: a sample counts only if its window kept ~full machine
-    // capacity relative to the best window seen (re-evaluated as the best
-    // rises). The 4-thread level gates on BOTH probes — registers (host
-    // CPU steal) and DRAM bandwidth (co-tenant memory pressure, which
-    // register spins cannot see and which hits multi-thread runs
-    // hardest). The 1-thread level gates on spin ONLY: a single thread is
-    // bandwidth-insensitive, and excluding a fast 1t sample for low
-    // window bandwidth would bias the ratio UP — the conservative
-    // estimator keeps every honest-CPU 1t draw. Fallback chain so a
-    // uniformly depressed run still reports: gates → spin → all.
-    def accepted(xs: Seq[Sample], memGate: Boolean): Seq[Sample] = {
-      if (xs.isEmpty) return xs
-      val bestSpin = xs.map(_.windowSpin).max
-      val bestMem = xs.map(_.windowMem).max
-      val spinOk = xs.filter(_.windowSpin >= 0.9 * bestSpin)
-      val ok = if (memGate) spinOk.filter(_.windowMem >= 0.75 * bestMem)
-        else spinOk
-      if (ok.nonEmpty) ok else if (spinOk.nonEmpty) spinOk else xs
-    }
-    // convergence: two accepted samples agree within 10%
-    def converged(xs: Seq[Sample]): Boolean = {
-      val s = accepted(xs, memGate = true).map(_.sec).sorted
-      s.length >= 2 && (s(1) - s(0)) / s(0) <= 0.10
     }
     def writeBenchFile(json: String): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),

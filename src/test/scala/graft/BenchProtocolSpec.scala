@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import BenchProtocol.{Sample, accepted, converged, efficiency}
+
+/** Estimator rules against recorded sample vectors from real bench runs
+  * (the committed round-3 artifact) plus synthetic edge cases.
+  */
+class BenchProtocolSpec extends AnyFunSuite {
+
+  private def s(sec: Double, spin: Double, mem: Double) =
+    Sample(sec, spin, spin, mem, mem)
+
+  // the committed round-3 run: (sec, window spin, window mem) per sample
+  private val ns5 = Seq(s(115.53, 28.53, 17.72), s(105.33, 26.56, 19.06),
+    s(96.36, 31.17, 19.46))
+  private val fs5 = Seq(s(66.72, 112.19, 30.87), s(50.47, 115.08, 56.64),
+    s(33.29, 108.78, 51.27), s(29.55, 120.22, 68.32), s(29.45, 125.99, 72.21))
+
+  test("recorded round-3 run reproduces the committed artifact values") {
+    assert(accepted(fs5, memGate = true).map(_.sec) ==
+      Seq(50.47, 29.55, 29.45))
+    assert(converged(fs5)) // 29.55 vs 29.45 agree within 0.3%
+    assert(math.abs(efficiency(ns5, fs5) - 0.818) < 0.001)
+    // the 1t level gates on spin only: every draw here is spin-honest
+    assert(accepted(ns5, memGate = false).map(_.sec).min == 96.36)
+  }
+
+  test("spin gate discards draws from depressed-CPU windows") {
+    val xs = Seq(s(37.69, 112.64, 50.0), s(37.52, 120.21, 50.0),
+      s(116.43, 89.22, 50.0)) // the round-3 run-1 stolen draw
+    assert(accepted(xs, memGate = true).map(_.sec) == Seq(37.69, 37.52))
+  }
+
+  test("mem gate discards bandwidth-stolen draws the spin gate cannot see") {
+    val xs = Seq(s(40.0, 120.0, 60.0), s(30.0, 120.0, 61.0),
+      s(55.0, 119.0, 20.0)) // clean spin, stolen DRAM
+    assert(accepted(xs, memGate = true).map(_.sec) == Seq(40.0, 30.0))
+    // without the mem gate the bandwidth-stolen draw survives
+    assert(accepted(xs, memGate = false).length == 3)
+  }
+
+  test("fallback chain: uniformly depressed runs still report") {
+    val allBad = Seq(s(50.0, 10.0, 5.0), s(52.0, 10.5, 5.2))
+    assert(accepted(allBad, memGate = true).nonEmpty)
+    assert(accepted(Seq.empty, memGate = true).isEmpty)
+    assert(efficiency(Seq.empty, allBad) == 0.0)
+  }
+
+  test("more multi-thread samples can only raise the efficiency bound") {
+    val ns = Seq(s(100.0, 30.0, 18.0))
+    val fs0 = Seq(s(40.0, 120.0, 60.0))
+    val better = fs0 :+ s(28.0, 121.0, 61.0)
+    assert(efficiency(ns, better) >= efficiency(ns, fs0))
+  }
+
+  test("convergence needs two accepted samples within 10%") {
+    assert(!converged(Seq(s(40.0, 120.0, 60.0))))
+    assert(!converged(Seq(s(40.0, 120.0, 60.0), s(46.0, 120.0, 60.0))))
+    assert(converged(Seq(s(40.0, 120.0, 60.0), s(43.0, 120.0, 60.0))))
+  }
+}

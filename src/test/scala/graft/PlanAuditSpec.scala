@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape audits: the properties the 100 TB posture depends on,
+  * asserted against Catalyst's optimized/physical plans rather than
+  * taken on faith — filter pushdown and column pruning reaching the
+  * Parquet scans, broadcast joins where a side is dimension-sized, the
+  * reconcile staying window-free (the r1 skew finding), and the simhash
+  * banding staying aggregation-free after the join (the r2 dedup-shuffle
+  * finding). Skipped when the testdata directory is absent.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def has: Boolean =
+    new java.io.File(s"$dir/lineitem.parquet").exists()
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+  private def logical(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("filter pushdown reaches the parquet scan (q_embed_topk query side)") {
+    assume(has)
+    val p = physical(SparkEntry.queries("q_embed_topk")(spark, dir))
+    assert(p.contains("LessThan(vec_id,5)"),
+      "vec_id < 5 must appear in PushedFilters at the scan")
+  }
+
+  test("column pruning: token-count scan reads only doc_id and text") {
+    assume(has)
+    val p = physical(SparkEntry.queries("q_doc_token_count")(spark, dir))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must not read lang/source/n_chars:\n${p.take(2000)}")
+  }
+
+  test("anti-join remove broadcasts the removal side") {
+    assume(has)
+    val p = physical(SparkEntry.queries("q_anti_remove")(spark, dir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "removal keys are dimension-sized and must broadcast")
+  }
+
+  test("reconcile is window-free; the window demo query is not") {
+    assume(has)
+    assert(!logical(SparkEntry.queries("q_reconcile_sssom")(spark, dir))
+      .contains("Window"),
+      "filterRedundantRows must stay groupBy+join-back (no Window skew)")
+    assert(logical(SparkEntry.queries("q_window_max_filter")(spark, dir))
+      .contains("Window"))
+  }
+
+  test("simhash banding: no aggregate/dedup anywhere in the plan") {
+    assume(has)
+    val l = logical(SparkEntry.queries("q_doc_simhash_neardup")(spark, dir))
+    assert(!l.contains("Aggregate") && !l.contains("Deduplicate"),
+      "canonical-route filter must replace the pair-dedup shuffle")
+  }
+
+  test("brute-force cosine broadcasts the query side") {
+    assume(has)
+    val p = physical(SparkEntry.queries("q_embed_topk")(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the small query set must broadcast, never shuffle the corpus")
+  }
+}
