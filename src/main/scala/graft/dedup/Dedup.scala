@@ -147,13 +147,30 @@ object Dedup {
       when(call_function("shiftrightunsigned", x, lit(offsets(i)))
         .bitwiseAND(lit(mask)) === 0L, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    // index of the lowest set bit b: bit_count((b & -b) - 1); clearing it
-    // (cm & (cm - 1)) yields the second-lowest. Hamming ≤ maxHamming
-    // guarantees ≥ 2 clean chunks, so both indexes exist on kept rows;
-    // on rejected rows the -1 underflow just yields a never-matching 64.
-    def lowestIdx(c: Column): Column =
-      call_function("bit_count", c.bitwiseAND(-c) - 1)
-    val canon = lowestIdx(cm) * nChunks + lowestIdx(cm.bitwiseAND(cm - 1))
+    // canonical combo as a function of the m-bit clean mask. Catalyst
+    // inlines aliased subtrees into every reference (no CSE), so deriving
+    // first/second-set-bit indexes arithmetically from `cm` replicates
+    // the m-CASE mask tree ~6× into the join condition (measured ~600
+    // int ops per candidate row); a 2^m lookup-table literal references
+    // `cm` exactly once. Fallback to the arithmetic form for very large
+    // maxHamming where the table would not be literal-sized.
+    val canon: Column =
+      if (nChunks <= 20) {
+        val table = Array.tabulate(1 << nChunks) { cmv =>
+          val rest = cmv & (cmv - 1)
+          if (cmv == 0 || rest == 0) -1 // < 2 clean chunks: never matches
+          else Integer.numberOfTrailingZeros(cmv) * nChunks +
+            Integer.numberOfTrailingZeros(rest)
+        }
+        element_at(lit(table), cm.cast("int") + 1)
+      } else {
+        // lowest set bit b: bit_count((b & -b) - 1); clearing it
+        // (cm & (cm-1)) yields the second-lowest. On rejected rows the
+        // -1 underflow just yields a never-matching 64.
+        def lowestIdx(c: Column): Column =
+          call_function("bit_count", c.bitwiseAND(-c) - 1)
+        lowestIdx(cm) * nChunks + lowestIdx(cm.bitwiseAND(cm - 1))
+      }
     joined
       .filter(call_function("bit_count", x) <= maxHamming &&
         col("combo") === canon)

@@ -78,14 +78,17 @@ object Drive {
     }
   }
 
-  /** Timing + row-parity check for the rewritten simhash banding. */
+  /** Timing + row-parity check for the rewritten simhash banding:
+    * A/B sort-merge vs shuffled-hash join for the banding self-join.
+    */
   def simhashCheck(): Unit = {
-    for (mult <- Seq(1, 4)) {
+    for (preferSmj <- Seq("true", "false")) {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       val s = SparkSession.builder().master("local[32]")
-        .appName(s"drive-sim-$mult")
-        .config("spark.sql.shuffle.partitions", (32 * mult).toString)
+        .appName(s"drive-sim-$preferSmj")
+        .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.join.preferSortMergeJoin", preferSmj)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC").getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
@@ -94,14 +97,14 @@ object Drive {
         val t0 = System.nanoTime(); val n = f
         (n, (System.nanoTime() - t0) / 1e9)
       }
-      val pairs = (1 to 3).map(_ =>
+      val pairs = (1 to 4).map(_ =>
         time(graft.dedup.Dedup.simhashNearDups(docs, maxHamming = 8).count()))
-      val raws = (1 to 3).map(_ =>
-        time(graft.dedup.Dedup.simhashRawJoinCount(docs, 8)))
-      println(f"sf0.1 parts=${32 * mult} nearDups min=${pairs.map(_._2).min}%.2f " +
-        f"(n=${pairs.head._1}) rawJoin min=${raws.map(_._2).min}%.2f (n=${raws.head._1}) " +
-        s"all=[${pairs.map(t => f"${t._2}%.2f").mkString(",")} | " +
-        s"${raws.map(t => f"${t._2}%.2f").mkString(",")}]")
+      assert(pairs.head._1 == 88051L)
+      println(f"sf0.1 preferSMJ=$preferSmj nearDups min=${pairs.map(_._2).min}%.2f " +
+        s"all=[${pairs.map(t => f"${t._2}%.2f").mkString(",")}]")
+      println(graft.dedup.Dedup.simhashNearDups(docs, 8)
+        .queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join")).mkString("\n"))
       s.stop()
     }
   }
