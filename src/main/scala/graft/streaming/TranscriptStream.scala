@@ -40,6 +40,22 @@ object TranscriptStream {
       .agg(count(lit(1)).as("n_turns"),
         avg(length(col("text"))).as("avg_chars"))
 
+  /** Streaming exact dedup (the streaming arm of `Dedup.exact`): the
+    * first occurrence of each normalized-content fingerprint survives;
+    * duplicates whose event times differ are still caught as long as
+    * they arrive within the watermark of each other
+    * (`dropDuplicatesWithinWatermark`), and expired fingerprints age out
+    * of the state store — state is bounded by the watermark horizon, the
+    * property that keeps this runnable forever on an unbounded corpus.
+    */
+  def dedupStream(stream: DataFrame, watermark: String = "2 hours")
+      : DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .withColumn("fingerprint",
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Incremental linking: each micro-batch runs mention detection + exact
     * dictionary linking and appends SSSOM rows partitioned by subject-hash
     * bucket. The streaming checkpoint makes the job resumable — the

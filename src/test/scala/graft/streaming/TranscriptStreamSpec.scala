@@ -30,6 +30,29 @@ class TranscriptStreamSpec extends SparkSpec {
     assert(written.select("batch").distinct().count() >= 1)
   }
 
+  test("streaming dedup: duplicate texts collapse, state bounded by watermark") {
+    val base = java.nio.file.Files.createTempDirectory("stream3").toString
+    val in = s"$base/in"
+    // same seed twice = every text duplicated across two file drops
+    Synthetic.transcripts(spark, 30, 4, 50).write.mode("append").parquet(in)
+    Synthetic.transcripts(spark, 30, 4, 50).write.mode("append").parquet(in)
+    val deduped = TranscriptStream.dedupStream(
+      TranscriptStream.readTranscriptStream(spark, in))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.sql("SELECT * FROM dedup_stream")
+    val distinctTexts = spark.read.parquet(in)
+      .select(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      .distinct().count()
+    assert(rows.count() == distinctTexts,
+      s"${rows.count()} survivors vs $distinctTexts distinct fingerprints")
+    assert(rows.select("fingerprint").distinct().count() == rows.count())
+  }
+
   test("windowed turn stats carry watermarked event-time windows") {
     val base = java.nio.file.Files.createTempDirectory("stream2").toString
     val in = s"$base/in"
