@@ -14,7 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q_collapse_agg", "q_crosstab", "q_window_max_filter",
     "q_reconcile_sssom", "q_cardinality", "q_anti_remove", "q_union_dedup",
     "q_diff_pairs", "q_invert", "q_like_filter", "q_sessionize",

@@ -62,9 +62,12 @@ object Dedup {
     * instead the (rare) surviving candidate pairs semi-join the text back
     * for the exact-Jaccard verification.
     */
-  def minhashNearDups(documents: DataFrame, perms: Int = 32, bands: Int = 8,
+  def minhashNearDups(documentsIn: DataFrame, perms: Int = 32, bands: Int = 8,
       k: Int = 3, threshold: Double = 0.7): DataFrame = {
     val rows = perms / bands
+    // the minhash signature pass is the compute-heavy stage — spread it
+    // when the input's file layout under-parallelizes (see SparkUtil)
+    val documents = graft.core.SparkUtil.spread(documentsIn)
     val sigs = documents.select(col("doc_id"),
       minhashSignature(col("text"), perms, k).as("sig"))
     val banded = sigs.withColumn("band",
@@ -199,10 +202,11 @@ object Dedup {
     * band keys (m = maxHamming + 2, single-pass JIT'd kernel) and
     * self-equi-join on (combo, value bucket).
     */
-  private def simhashComboJoin(documents: DataFrame, maxHamming: Int)
+  private def simhashComboJoin(documentsIn: DataFrame, maxHamming: Int)
       : (Int, Array[Int], Array[Int], DataFrame, DataFrame) = {
     require(maxHamming >= 0 && maxHamming <= 62,
       s"maxHamming must be in [0, 62], got $maxHamming")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
     val nChunks = maxHamming + 2
     val widths = TextHash.simhashChunkWidths(nChunks)
     val offsets = widths.scanLeft(0)(_ + _)

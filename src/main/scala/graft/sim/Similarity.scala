@@ -33,8 +33,9 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10)
       : DataFrame = {
-    val c = corpus.select(col("vec_id").as("corpus_id"),
-      col("embedding").as("corpus_vec"))
+    val c = graft.core.SparkUtil.spread(corpus)
+      .select(col("vec_id").as("corpus_id"),
+        col("embedding").as("corpus_vec"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_vec"))
     val scored = c.crossJoin(broadcast(q))
@@ -100,8 +101,8 @@ object Similarity {
       exact: Boolean = true, tables: Int = 4): DataFrame = {
     val pairs =
       if (exact) {
-        val a = embeddings.select(col("vec_id").as("vec_a"),
-          col("embedding").as("va"))
+        val a = graft.core.SparkUtil.spread(embeddings)
+          .select(col("vec_id").as("vec_a"), col("embedding").as("va"))
         val b = embeddings.select(col("vec_id").as("vec_b"),
           col("embedding").as("vb"))
         a.crossJoin(broadcast(b)).filter(col("vec_a") < col("vec_b"))
@@ -122,8 +123,9 @@ object Similarity {
       bits: Int, tables: Int): DataFrame = {
     val b = if (bits > 0) bits else autoBits(corpus.count())
     // per-table signatures with table-specific seed
-    val c = corpus.select(col("vec_id").as("corpus_id"),
-      col("embedding").as("corpus_vec"))
+    val c = graft.core.SparkUtil.spread(corpus)
+      .select(col("vec_id").as("corpus_id"),
+        col("embedding").as("corpus_vec"))
       .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
       .withColumn("sig", srpTableSig(col("corpus_vec"), b))
     val q = queries.select(col("vec_id").as("query_id"),

@@ -89,6 +89,7 @@ object Drive {
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.join.preferSortMergeJoin", preferSmj)
+        .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC").getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
@@ -97,14 +98,13 @@ object Drive {
         val t0 = System.nanoTime(); val n = f
         (n, (System.nanoTime() - t0) / 1e9)
       }
+      println(s"scan partitions=${docs.rdd.getNumPartitions} " +
+        s"join out partitions=${graft.dedup.Dedup.simhashNearDups(docs, 8).rdd.getNumPartitions}")
       val pairs = (1 to 4).map(_ =>
         time(graft.dedup.Dedup.simhashNearDups(docs, maxHamming = 8).count()))
       assert(pairs.head._1 == 88051L)
       println(f"sf0.1 preferSMJ=$preferSmj nearDups min=${pairs.map(_._2).min}%.2f " +
         s"all=[${pairs.map(t => f"${t._2}%.2f").mkString(",")}]")
-      println(graft.dedup.Dedup.simhashNearDups(docs, 8)
-        .queryExecution.executedPlan.toString.linesIterator
-        .filter(l => l.contains("Join")).mkString("\n"))
       s.stop()
     }
   }

@@ -54,6 +54,14 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(efficiency(ns, better) >= efficiency(ns, fs0))
   }
 
+  test("headline covers every driver query (no silently untimed queries)") {
+    assert(Bench.headline.toSet == SparkEntry.queries.keySet,
+      s"missing from headline: ${SparkEntry.queries.keySet -- Bench.headline}")
+    assert(Bench.headline.distinct.size == Bench.headline.size)
+    // every oracle key names a real query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("convergence needs two accepted samples within 10%") {
     assert(!converged(Seq(s(40.0, 120.0, 60.0))))
     assert(!converged(Seq(s(40.0, 120.0, 60.0), s(46.0, 120.0, 60.0))))
