@@ -20,10 +20,16 @@ object BenchProtocol {
     * seen (re-evaluated as the best rises). `memGate` applies the DRAM
     * gate too — used for the multi-thread level, which is
     * bandwidth-sensitive; the 1-thread level gates on spin only (a
-    * single thread is bandwidth-insensitive, and excluding a fast 1t
-    * draw for low window bandwidth would bias the ratio UP). Fallback
-    * chain so a uniformly depressed run still reports: gates → spin →
-    * all.
+    * single thread is bandwidth-insensitive). Fallback chain so a
+    * uniformly depressed run still reports: gates → spin → all.
+    *
+    * Acceptance drives the RETRY/STOP policy and window attribution, NOT
+    * the point estimate: host steal is one-sided (a depressed window can
+    * only slow a run, never speed it), so a sample's own wall-clock is
+    * itself evidence of its window's quality, and excluding any sample
+    * from a min-estimator can only loosen the bound — observed live when
+    * the mem gate rejected a FASTER 4t draw taken in a lower-bandwidth
+    * window.
     */
   def accepted(xs: Seq[Sample], memGate: Boolean): Seq[Sample] = {
     if (xs.isEmpty) return xs
@@ -35,17 +41,21 @@ object BenchProtocol {
     if (ok.nonEmpty) ok else if (spinOk.nonEmpty) spinOk else xs
   }
 
-  /** Two accepted multi-thread samples agree within 10%. */
+  /** Two honest-window multi-thread samples agree within 10% (the
+    * stopping signal — stability among samples whose windows kept full
+    * machine capacity).
+    */
   def converged(xs: Seq[Sample]): Boolean = {
     val s = accepted(xs, memGate = true).map(_.sec).sorted
     s.length >= 2 && (s(1) - s(0)) / s(0) <= 0.10
   }
 
-  /** min(accepted 1t) / min(accepted 4t) / 4 — a LOWER BOUND on the
-    * un-stolen capacity ratio (extra 4t samples can only raise it).
+  /** min(all 1t) / min(all 4t) / 4 — the tightest LOWER BOUND on the
+    * un-stolen capacity ratio: steal is one-sided, so the fastest
+    * observed sample at each level is the best estimate of that level's
+    * honest runtime, and extra samples can only tighten it.
     */
   def efficiency(ns: Seq[Sample], fs: Seq[Sample]): Double =
     if (ns.isEmpty || fs.isEmpty) 0.0
-    else (accepted(ns, memGate = false).map(_.sec).min /
-      accepted(fs, memGate = true).map(_.sec).min) / 4.0
+    else (ns.map(_.sec).min / fs.map(_.sec).min) / 4.0
 }

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  // every driver testdata file is written as a SINGLE parquet row group,
+  // which reads as one non-empty partition however many byte-range splits
+  // are planned — spread() re-parallelizes those scans (no-op on inputs
+  // with enough row groups; see core.SparkUtil)
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.core.SparkUtil.spread(s.read.parquet(s"$dir/$name.parquet"))
 
   /** Flagship: the KG-construction pipeline (north rule) at smoke scale —
     * transcripts → mention detection → linking → reconcile → components.

@@ -40,6 +40,18 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(accepted(xs, memGate = false).length == 3)
   }
 
+  test("gates never loosen the bound: a fast draw in a low-mem window still counts") {
+    // steal is one-sided — a 30.88 s draw taken in a 47.8 GB/s window
+    // (below the 0.75x acceptance line of the 70.7 best) is real speed;
+    // the point estimate uses min over ALL samples, gates only drive
+    // retry/attribution (this scenario occurred live in run 8)
+    val ns = Seq(s(97.34, 30.0, 19.0))
+    val fs = Seq(s(31.12, 120.0, 70.73), s(30.88, 119.0, 47.78),
+      s(31.43, 118.0, 68.45))
+    assert(!accepted(fs, memGate = true).exists(_.sec == 30.88))
+    assert(math.abs(efficiency(ns, fs) - 97.34 / 30.88 / 4.0) < 1e-9)
+  }
+
   test("fallback chain: uniformly depressed runs still report") {
     val allBad = Seq(s(50.0, 10.0, 5.0), s(52.0, 10.5, 5.2))
     assert(accepted(allBad, memGate = true).nonEmpty)
