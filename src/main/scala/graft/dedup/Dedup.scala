@@ -155,10 +155,12 @@ object Dedup {
     // first/second-set-bit indexes arithmetically from `cm` replicates
     // the m-CASE mask tree ~6× into the join condition (measured ~600
     // int ops per candidate row); a 2^m lookup-table literal references
-    // `cm` exactly once. Fallback to the arithmetic form for very large
-    // maxHamming where the table would not be literal-sized.
+    // `cm` exactly once. The measured win was at m = 10 (1 KB table);
+    // capped at 2^14 (64 KB) — beyond that the table bloats plan
+    // serialization and task binaries for no measured benefit, so larger
+    // maxHamming falls back to the arithmetic bit-trick form.
     val canon: Column =
-      if (nChunks <= 20) {
+      if (nChunks <= 14) {
         val table = Array.tabulate(1 << nChunks) { cmv =>
           val rest = cmv & (cmv - 1)
           if (cmv == 0 || rest == 0) -1 // < 2 clean chunks: never matches

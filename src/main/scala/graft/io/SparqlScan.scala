@@ -69,10 +69,32 @@ object SparqlScan {
        |""".stripMargin
   }
 
+  /** Strict value compression (reference `safe_compress` =
+    * `converter.compress_or_standardize(value, strict=True)`,
+    * util.py:1820-1828): an IRI must compress — an endpoint emitting IRIs
+    * outside the configured prefix map is a configuration error, and
+    * silently passing raw IRIs through would produce a structurally valid
+    * but semantically different Msdf. A CURIE standardizes through the
+    * expand→compress round-trip and likewise must resolve. Plain literals
+    * (labels) pass through unchanged — a documented lenience vs the
+    * reference, whose strict converter call receives label literals too.
+    */
+  private[io] def safeCompress(v: String, prefixes: PrefixMap): String =
+    if (PrefixMap.looksLikeIri(v))
+      prefixes.compress(v).getOrElse(throw new IllegalArgumentException(
+        s"SPARQL binding IRI not compressible with the configured prefix map: $v"))
+    else if (PrefixMap.looksLikeCurie(v))
+      prefixes.expand(v).flatMap(prefixes.compress).getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARQL binding CURIE has no configured prefix: $v"))
+    else v
+
   /** Run the scan: build the query, execute it through `executor`
     * (variable → IRI/literal value per binding row), compress every value
     * through the configured converter (reference `safe_compress`), and
-    * assemble the Msdf.
+    * assemble the Msdf. A variable absent from a binding row (e.g. an
+    * unmatched OPTIONAL object_label) becomes null, matching the
+    * reference's pandas NaN from ragged binding dicts.
     */
   def queryMappings(spark: SparkSession, config: EndpointConfig,
       executor: Option[String => Seq[Map[String, String]]] = None): Msdf = {
@@ -84,8 +106,7 @@ object SparqlScan {
     val cols = columns(config)
     val rows = bindings.map { b =>
       Row.fromSeq(cols.map(c =>
-        b.get(c).map(v => config.prefixes.compress(v).getOrElse(v))
-          .getOrElse("")))
+        b.get(c).map(v => safeCompress(v, config.prefixes)).orNull))
     }
     val schema = StructType(cols.map(c => StructField(c, StringType,
       nullable = true)))

@@ -2,8 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch driver for end-to-end verification runs (see
-  * .claude/skills/verify/SKILL.md) — edit freely, keep `main` runnable.
+/** Scratch driver for end-to-end verification runs — edit freely, keep
+  * `main` runnable.
   */
 object Drive {
   private def session(threads: Int): SparkSession = {
@@ -134,7 +134,9 @@ object Drive {
       s"${owlText.linesIterator.count(_.contains("a owl:Class"))} class typings, " +
       s"ontology=${owlText.contains("a owl:Ontology")}")
     val scan = graft.io.SparqlScan.queryMappings(s,
-      graft.io.SparqlScan.EndpointConfig(url = "http://e/sparql"),
+      graft.io.SparqlScan.EndpointConfig(url = "http://e/sparql",
+        prefixes = graft.core.PrefixMap.builtIn.chain(
+          graft.core.PrefixMap(Vector("g" -> "http://g/")))),
       executor = Some(_ => Seq(Map(
         "subject_id" -> "http://www.w3.org/2004/02/skos/core#X",
         "subject_label" -> "x",

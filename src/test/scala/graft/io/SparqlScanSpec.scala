@@ -70,4 +70,39 @@ class SparqlScanSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("offline"))
   }
+
+  test("absent OPTIONAL bindings are null; uncompressible IRIs raise " +
+      "(reference safe_compress strict=True)") {
+    val full = Map("subject_id" -> "http://purl.obolibrary.org/obo/HP_0000001",
+      "subject_label" -> "All",
+      "predicate_id" -> "http://www.w3.org/2004/02/skos/core#exactMatch",
+      "object_id" -> "http://purl.obolibrary.org/obo/MP_0000001",
+      "mapping_provider" -> "http://example.org/graphs/m")
+    val msdf = SparqlScan.queryMappings(spark,
+      EndpointConfig(url = "http://e/sparql", prefixes = prefixes,
+        includeObjectLabels = true),
+      // object_label matched in row 1, absent (unmatched OPTIONAL) in row 2
+      executor = Some(_ => Seq(full + ("object_label" -> "One"),
+        full + ("subject_id" -> "http://purl.obolibrary.org/obo/HP_0000002"))))
+    val byId = msdf.df.collect()
+      .map(r => r.getString(0) -> r.getString(4)).toMap
+    assert(byId("HP:0000001") == "One")
+    assert(byId("HP:0000002") == null) // pandas-NaN parity, not ""
+    // an endpoint emitting IRIs outside the prefix map is an error, not a
+    // silently different Msdf
+    intercept[IllegalArgumentException] {
+      SparqlScan.queryMappings(spark,
+        EndpointConfig(url = "http://e/sparql", prefixes = prefixes),
+        executor = Some(_ => Seq(
+          full + ("object_id" -> "http://unknown.example/X_1"))))
+    }
+    // a CURIE binding with an unknown prefix likewise raises
+    intercept[IllegalArgumentException] {
+      SparqlScan.queryMappings(spark,
+        EndpointConfig(url = "http://e/sparql", prefixes = prefixes),
+        executor = Some(_ => Seq(full + ("object_id" -> "nope:1"))))
+    }
+    // plain literals (labels) pass through — documented lenience
+    assert(SparqlScan.safeCompress("a plain label", prefixes) == "a plain label")
+  }
 }
