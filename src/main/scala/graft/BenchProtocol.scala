@@ -27,9 +27,9 @@ object BenchProtocol {
     * the point estimate: host steal is one-sided (a depressed window can
     * only slow a run, never speed it), so a sample's own wall-clock is
     * itself evidence of its window's quality, and excluding any sample
-    * from a min-estimator can only loosen the bound — observed live when
-    * the mem gate rejected a FASTER 4t draw taken in a lower-bandwidth
-    * window.
+    * from a min-estimator can only worsen the estimate — observed live
+    * when the mem gate rejected a FASTER 4t draw taken in a
+    * lower-bandwidth window.
     */
   def accepted(xs: Seq[Sample], memGate: Boolean): Seq[Sample] = {
     if (xs.isEmpty) return xs
@@ -41,21 +41,49 @@ object BenchProtocol {
     if (ok.nonEmpty) ok else if (spinOk.nonEmpty) spinOk else xs
   }
 
-  /** Two honest-window multi-thread samples agree within 10% (the
-    * stopping signal — stability among samples whose windows kept full
-    * machine capacity).
+  /** Two honest-window samples at a level agree within 10% (the stopping
+    * signal — stability among samples whose windows kept full machine
+    * capacity). Applied SYMMETRICALLY: the 4-thread level gates on
+    * spin + DRAM (`memGate = true`), the 1-thread level on spin only —
+    * steal inflates BOTH levels' minima (the 4t denominator lowers the
+    * reported ratio, the 1t numerator raises it), so neither level's
+    * sampling may stop while its own minimum is still unstable.
     */
-  def converged(xs: Seq[Sample]): Boolean = {
-    val s = accepted(xs, memGate = true).map(_.sec).sorted
+  def converged(xs: Seq[Sample], memGate: Boolean = true): Boolean = {
+    val s = accepted(xs, memGate).map(_.sec).sorted
     s.length >= 2 && (s(1) - s(0)) / s(0) <= 0.10
   }
 
-  /** min(all 1t) / min(all 4t) / 4 — the tightest LOWER BOUND on the
-    * un-stolen capacity ratio: steal is one-sided, so the fastest
-    * observed sample at each level is the best estimate of that level's
-    * honest runtime, and extra samples can only tighten it.
+  /** min(all 1t) / min(all 4t) / 4 — a POINT ESTIMATE of the un-stolen
+    * capacity ratio, not a bound in either direction: steal is one-sided,
+    * so each level's minimum is an UPPER bound on that level's honest
+    * runtime that extra samples tighten independently — but a ratio of
+    * two upper bounds can err either way (a stolen 1t minimum inflates
+    * the estimate exactly as a stolen 4t minimum deflates it). Accuracy
+    * therefore comes from per-level convergence (`converged`, checked
+    * symmetrically at both levels), never from the sample count at one
+    * level alone.
     */
   def efficiency(ns: Seq[Sample], fs: Seq[Sample]): Double =
     if (ns.isEmpty || fs.isEmpty) 0.0
     else (ns.map(_.sec).min / fs.map(_.sec).min) / 4.0
+
+  /** Same-window paired ratios, emitted only when trustworthy: a
+    * (1t, 4t) pair of adjacent samples qualifies iff BOTH members pass
+    * their level's acceptance gates, and the ratio is ≤ 1.0 — a parallel
+    * efficiency above 1.0 is physically impossible at this working-set
+    * size and is evidence the "pair" spanned a machine-phase change
+    * (observed live: a storm-inflated 225 s 1t draw paired against a
+    * clean 39.9 s 4t draw printed 1.41). Returns the qualifying ratios;
+    * empty means no honest pair existed and the field is omitted.
+    */
+  def pairedEfficiencies(pairs: Seq[(Sample, Sample)], ns: Seq[Sample],
+      fs: Seq[Sample]): Seq[Double] = {
+    val okN = accepted(ns, memGate = false).toSet
+    val okF = accepted(fs, memGate = true).toSet
+    pairs.collect {
+      case (n, f) if okN.contains(n) && okF.contains(f) &&
+        (n.sec / f.sec) / 4.0 <= 1.0 => (n.sec / f.sec) / 4.0
+    }
+  }
 }

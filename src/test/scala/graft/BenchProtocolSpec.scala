@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import BenchProtocol.{Sample, accepted, converged, efficiency}
+import BenchProtocol.{Sample, accepted, converged, efficiency, pairedEfficiencies}
 
 /** Estimator rules against recorded sample vectors from real bench runs
   * (the committed round-3 artifact) plus synthetic edge cases.
@@ -78,5 +78,46 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(!converged(Seq(s(40.0, 120.0, 60.0))))
     assert(!converged(Seq(s(40.0, 120.0, 60.0), s(46.0, 120.0, 60.0))))
     assert(converged(Seq(s(40.0, 120.0, 60.0), s(43.0, 120.0, 60.0))))
+  }
+
+  test("convergence is symmetric: the driver's r3 1t draws (all stolen) " +
+      "do NOT converge, so the level keeps sampling") {
+    // the r3 driver artifact: samples_sec_n = [231.13, 148.78, 119.47]
+    // with clean spins — min-of-3 reported, but 148.78 vs 119.47 differ
+    // by 24.5%, so a symmetric rule keeps buying 1t draws instead of
+    // publishing a minimum still inflated by steal
+    val r3driver1t = Seq(s(231.13, 29.97, 11.54), s(148.78, 29.70, 12.48),
+      s(119.47, 29.81, 19.06))
+    assert(!converged(r3driver1t, memGate = false))
+    // a subsequent honest draw near the true ~112 s floor converges it
+    assert(converged(r3driver1t :+ s(112.0, 30.1, 18.0), memGate = false))
+  }
+
+  test("paired ratios: physically impossible (>1.0) pairs are dropped") {
+    // the committed r3 artifact published efficiency_paired_best = 1.41
+    // from a storm-inflated 225 s 1t draw paired with a clean 39.9 s 4t
+    // draw — a parallel efficiency above 1.0 is evidence of a machine
+    // phase change inside the 'pair', not a measurement
+    val n = s(225.0, 29.9, 18.0)
+    val f = s(39.9, 120.0, 65.0)
+    assert(pairedEfficiencies(Seq((n, f)), Seq(n), Seq(f)).isEmpty)
+  }
+
+  test("paired ratios: a window-depressed member disqualifies the pair") {
+    val nGood = s(120.0, 30.0, 18.0)
+    val nBad = s(150.0, 22.0, 18.0) // spin-depressed window
+    val f = s(35.0, 120.0, 65.0)
+    val fBad = s(60.0, 119.0, 30.0) // DRAM-depressed window
+    val ns = Seq(nGood, nBad); val fs = Seq(f, fBad)
+    val out = pairedEfficiencies(
+      Seq((nGood, f), (nBad, f), (nGood, fBad)), ns, fs)
+    assert(out == Seq((120.0 / 35.0) / 4.0))
+  }
+
+  test("paired ratios: an honest adjacent pair is published") {
+    val n = s(118.0, 30.0, 18.0)
+    val f = s(34.0, 120.0, 65.0)
+    val out = pairedEfficiencies(Seq((n, f)), Seq(n), Seq(f))
+    assert(out.length == 1 && math.abs(out.head - 0.8676) < 0.001)
   }
 }
