@@ -222,8 +222,20 @@ object SparkEntry {
       Similarity.lshTopK(emb, queriesDf, k = 10)
     }),
 
+    // exact arm: the O(n²) broadcast baseline — kept as the DuckDB-oracle
+    // form and the sf0.01 exactness anchor (same role as q_embed_topk);
+    // the scale path is q_embed_neardup_lsh below
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // scale arm: SRP-LSH bucketed candidates + exact cosine verify — the
+    // form that survives a 100 TB corpus (candidate volume bounded via
+    // autoBits; no cartesian anywhere in the plan, audited). Rows-only
+    // for the driver; exactness witnessed as a subset of the exact arm
+    // with bit-identical cosines (TestdataWitnessSpec).
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.4,
+        exact = false)),
 
     // ---- near-dup detection (LSH family; rows-only checks) ----
     "q_doc_minhash_neardup" -> ((s, dir) =>

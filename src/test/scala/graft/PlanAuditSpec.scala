@@ -63,4 +63,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"),
       "the small query set must broadcast, never shuffle the corpus")
   }
+
+  test("no cartesian in any doc/embed headline plan except the documented " +
+      "exact baselines") {
+    assume(has)
+    // q_embed_topk and q_embed_neardup are the deliberate O(n²) exact
+    // baselines (broadcast one side; they anchor the DuckDB oracles and
+    // the LSH witnesses); every other doc/embed operator must plan as
+    // bucketed equi-joins — a cartesian that sneaks into an LSH path is
+    // exactly the shape that dies at corpus scale
+    val exempt = Set("q_embed_topk", "q_embed_neardup")
+    Bench.headline
+      .filter(q => q.startsWith("q_doc_") || q.startsWith("q_embed_"))
+      .filterNot(exempt)
+      .foreach { q =>
+        val p = physical(SparkEntry.queries(q)(spark, dir))
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans a cartesian:\n${p.take(1500)}")
+      }
+  }
 }

@@ -68,6 +68,24 @@ class TestdataWitnessSpec extends SparkSpec {
     assert(md == "2eedefc6bd3d11a56e2c9cf439e606ac")
   }
 
+  test("q_embed_neardup_lsh @ sf0.01: subset of the exact arm with " +
+      "bit-identical cosines; planted near-dups recovered") {
+    assume(has("embeddings"))
+    val lsh = SparkEntry.queries("q_embed_neardup_lsh")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = SparkEntry.queries("q_embed_neardup")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    // every LSH pair is a true pair with the same bit-exact cosine
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    // recall at this corpus/threshold: the standard LSH tradeoff, but the
+    // planted high-cosine near-dups must not be missed (cos >= 0.9 pairs
+    // collide in some SRP table with overwhelming probability)
+    val planted = exact.filter(_._3 >= 0.9)
+    assert(planted.subsetOf(lsh),
+      s"missed high-cosine pairs: ${planted -- lsh}")
+    assert(lsh.nonEmpty && lsh.size <= exact.size)
+  }
+
   test("q_embed_ann_lsh @ sf0.01: cosines bit-exact vs kernel; pinned rows") {
     assume(has("embeddings"))
     val out = SparkEntry.queries("q_embed_ann_lsh")(spark, sfDir)
