@@ -214,11 +214,14 @@ object Dedup {
     val offsets = widths.scanLeft(0)(_ + _)
     val bands = udf((t: String) => TextHash.simhashBands(t, maxHamming))
 
+    // ONE text hash per doc: the kernel returns (sig, combo, key) triples
+    // and rides inside the Generate (evaluated once per input row); a
+    // separate sig UDF would tokenize+hash every text a second time, and
+    // no-CSE Catalyst cannot share it
     val chunked = documents
-      .select(col("doc_id"), simhash(col("text")).as("sig"),
-        explode(bands(col("text"))).as("ck"))
-      .select(col("doc_id"), col("sig"),
-        col("ck._1").as("combo"), col("ck._2").as("key"))
+      .select(col("doc_id"), explode(bands(col("text"))).as("ck"))
+      .select(col("doc_id"), col("ck._1").as("sig"),
+        col("ck._2").as("combo"), col("ck._3").as("key"))
     val a = chunked.select(col("combo"), col("key"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("combo"), col("key"),

@@ -128,17 +128,21 @@ object TextHash extends Serializable {
     Array.tabulate(m)(i => 64 / m + (if (i < 64 % m) 1 else 0))
 
   /** All C(m,2) two-chunk combination band keys of a text's 64-bit
-    * simhash, m = maxHamming + 2: one (combo = i·m + j, mix(v_i, v_j))
-    * pair per chunk combination. Computed in a single pass so the
-    * signature is hashed ONCE per document (Catalyst does not CSE —
-    * expressing the chunking as column expressions over a sig alias
-    * re-evaluates the simhash per chunk reference after project
-    * collapse). The value bucket is hashed, not packed: a hash collision
-    * only adds a false candidate (removed by the exact-Hamming verify);
-    * equal chunk values always produce equal buckets, so recall is
-    * unaffected.
+    * simhash, m = maxHamming + 2, WITH the signature embedded in every
+    * element: one (sig, combo = i·m + j, mix(v_i, v_j)) triple per chunk
+    * combination. Single pass — the text is tokenized and hashed ONCE per
+    * document. Catalyst does not CSE: a separate sig UDF next to a bands
+    * UDF hashes the text twice per row, and expressing the chunking as
+    * column expressions over a sig alias re-evaluates the simhash per
+    * chunk reference after project collapse — so the one UDF rides
+    * inside the explode (a Generate evaluates its generator once per
+    * input row) and sig travels as a payload field of each band element
+    * (m(m−1)/2 extra longs per doc, transient). The value bucket is
+    * hashed, not packed: a hash collision only adds a false candidate
+    * (removed by the exact-Hamming verify); equal chunk values always
+    * produce equal buckets, so recall is unaffected.
     */
-  def simhashBands(text: String, maxHamming: Int): Array[(Int, Long)] = {
+  def simhashBands(text: String, maxHamming: Int): Array[(Long, Int, Long)] = {
     val m = maxHamming + 2
     val sig = simhash64(text)
     val widths = simhashChunkWidths(m)
@@ -150,12 +154,12 @@ object TextHash extends Serializable {
       vals(i) = (sig >>> off) & mask
       off += w; i += 1
     }
-    val out = new Array[(Int, Long)](m * (m - 1) / 2)
+    val out = new Array[(Long, Int, Long)](m * (m - 1) / 2)
     var idx = 0; i = 0
     while (i < m) {
       var j = i + 1
       while (j < m) {
-        out(idx) = (i * m + j, mix(mix(0x5eedL, vals(i)), vals(j)))
+        out(idx) = (sig, i * m + j, mix(mix(0x5eedL, vals(i)), vals(j)))
         idx += 1; j += 1
       }
       i += 1
