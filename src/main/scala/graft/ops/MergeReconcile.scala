@@ -60,12 +60,34 @@ object MergeReconcile {
     df.join(remove.select(keys.map(col): _*).distinct(), keys, "left_anti")
   }
 
+  /** Materialization boundary for operators that consume a DataFrame from
+    * several plan branches: Catalyst does not CSE across branches, so
+    * without a boundary the upstream plan re-executes once PER branch —
+    * measured live on the reconcile at sf0.1: 18 re-scans of the source
+    * parquet and 61 exchanges in one executed plan. An eager
+    * localCheckpoint caps that at one execution. Inputs whose plan is
+    * scan-shaped (no aggregate/join/dedup/generate upstream) are left
+    * alone: re-reading a columnar scan 2-3× streams and costs no shuffle,
+    * while checkpointing a 100 TB raw input would copy it to executor
+    * storage for no savings.
+    */
+  private def materializeOnce(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val expensive = df.queryExecution.logical.collectFirst {
+      case _: Aggregate | _: Join | _: Deduplicate | _: Distinct |
+           _: Window | _: Generate | _: Sort => true
+    }.nonEmpty
+    if (expensive) df.localCheckpoint(eager = true) else df
+  }
+
   /** Keep only rows whose confidence equals the (S,O[,P]) group max;
     * null-confidence rows bypass; then single-predicate reconciliation of
     * equal-confidence groups by predicate hierarchy
     * (reference `filter_redundant_rows`).
     */
-  def filterRedundantRows(df: DataFrame, ignorePredicate: Boolean = false): DataFrame = {
+  def filterRedundantRows(dfIn: DataFrame, ignorePredicate: Boolean = false): DataFrame = {
+    // consumed from three branches below (nonNull twice, nanRows once)
+    val df = materializeOnce(dfIn)
     val (nonNull, nanRows, hadConf) = splitByConfidence(df)
     val key = if (ignorePredicate) Seq(SubjectId, ObjectId)
       else Seq(SubjectId, ObjectId, PredicateId)
@@ -84,41 +106,49 @@ object MergeReconcile {
       .drop("__max_conf")
       .select(nonNull.columns.map(col).toIndexedSeq: _*)
 
-    val confReconciled = kept.unionByName(nanRows).dropDuplicates()
+    // consumed from two branches below (the group stats and the pick join)
+    val confReconciled = materializeOnce(kept.unionByName(nanRows).dropDuplicates())
 
-    // equal-confidence multi-predicate groups (S,O,conf): counted over
-    // non-"Not" rows with non-null confidence (pandas groupby drops NaN keys)
-    val notNot =
-      if (hasCol(confReconciled, PredicateModifier))
-        confReconciled.filter(col(PredicateModifier) =!= PredicateModifierNot)
-      else confReconciled
-    val groups = notNot
-      .filter(col(Confidence).isNotNull)
-      .groupBy(col(SubjectId), col(ObjectId), col(Confidence))
-      .agg(count(col(PredicateId)).as("__n"))
-      .filter(col("__n") > 1)
-      .select(SubjectId, ObjectId, Confidence)
-
-    val groupKeys = Seq(SubjectId, ObjectId, Confidence)
-    val nonGroup = confReconciled.join(groups, groupKeys, "left_anti")
-
+    // Equal-confidence multi-predicate group pick, fused into ONE
+    // aggregation + ONE null-safe equi-join (replaces the groups agg +
+    // anti-join + semi-join + min agg + join-back + final dedup shape: 6
+    // exchanges and 3 branch-references over confReconciled became 2 and
+    // 2). Per (S,O,conf) group the agg computes
+    //   __n        — predicate count over non-"Not" rows with non-null
+    //                confidence (pandas groupby drops NaN keys, and the
+    //                =!= comparison drops null modifiers exactly like the
+    //                filter it replaces);
+    //   __min_rank — the hierarchy minimum over ALL rows of the group
+    //                (the semantics of the semi-join + min agg it fuses).
+    // A row survives iff its group is not a multi-predicate group
+    // (__n <= 1 — null-conf rows always land here, their __n counts
+    // nothing) or it carries the group's best-ranked predicate. The join
+    // uses null-safe equality on every key so null subjects/objects/
+    // confidences match the groupBy keys they came from; one stats row
+    // exists per key, so row multiplicity is preserved and the input's
+    // distinctness makes the old trailing dropDuplicates a no-op.
     val rank = coalesce(
       element_at(typedLit(Schema.predicateRank), col(PredicateId)),
       lit(Int.MaxValue))
-    // same groupBy+join-back shape as the confidence max above: no
-    // window partitions anywhere in the reconcile (windows get neither
-    // partial aggregation nor AQE skew splitting)
-    val ranked = confReconciled.join(groups, groupKeys, "left_semi")
+    val pmNotNot =
+      if (hasCol(confReconciled, PredicateModifier))
+        col(PredicateModifier) =!= PredicateModifierNot
+      else lit(true)
+    val stats = confReconciled
       .withColumn("__rank", rank)
-    val minRanks = ranked.groupBy(groupKeys.map(col): _*)
-      .agg(min(col("__rank")).as("__min_rank"))
-    val groupPicked = ranked
-      .join(minRanks, groupKeys)
-      .filter(col("__rank") === col("__min_rank"))
-      .drop("__rank", "__min_rank")
+      .groupBy(col(SubjectId), col(ObjectId), col(Confidence))
+      .agg(
+        count(when(pmNotNot && col(Confidence).isNotNull,
+          col(PredicateId))).as("__n"),
+        min(col("__rank")).as("__min_rank"))
+      .select(col(SubjectId).as("__s"), col(ObjectId).as("__o"),
+        col(Confidence).as("__c"), col("__n"), col("__min_rank"))
+    val result = confReconciled
+      .withColumn("__rank", rank)
+      .join(stats, col(SubjectId) <=> col("__s") &&
+        col(ObjectId) <=> col("__o") && col(Confidence) <=> col("__c"))
+      .filter(col("__n") <= 1 || col("__rank") === col("__min_rank"))
       .select(confReconciled.columns.map(col).toIndexedSeq: _*)
-
-    val result = groupPicked.unionByName(nonGroup).dropDuplicates()
     if (hadConf) result else result.drop(Confidence)
   }
 

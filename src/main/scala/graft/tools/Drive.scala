@@ -32,6 +32,7 @@ object Drive {
   def main(args: Array[String]): Unit = {
     if (sys.env.contains("DRIVE_SMOKE")) { smoke(); return }
     if (sys.env.contains("DRIVE_SIMHASH")) { simhashCheck(); return }
+    if (sys.env.contains("DRIVE_RECONCILE")) { reconcileCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
     import graft.kg.KgPipeline
     import graft.ops.{MergeReconcile, TripleEmit}
@@ -76,6 +77,35 @@ object Drive {
       profiled(s)
       s.stop()
     }
+  }
+
+  /** Timing + plan-shape diagnosis for q_reconcile_sssom at sf0.1:
+    * headline config (local[32], AQE on), 4 timed runs after a warm run,
+    * plus exchange/scan counts from the executed plan.
+    */
+  def reconcileCheck(): Unit = {
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master("local[32]")
+      .appName("drive-reconcile")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
+    def q = graft.SparkEntry.queries("q_reconcile_sssom")(s, dir)
+    val warm = q.count()
+    val times = (1 to 4).map { _ =>
+      val t0 = System.nanoTime(); val n = q.count()
+      assert(n == warm); (System.nanoTime() - t0) / 1e9
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    def cnt(p: String, needle: String) = needle.r.findAllIn(p).length
+    println(f"rows=$warm min=${times.min}%.2f all=[${times.map(t => f"$t%.2f").mkString(",")}]")
+    println(s"exchanges=${cnt(plan, "Exchange")} scans=${cnt(plan, "Scan parquet")} " +
+      s"aggs=${cnt(plan, "HashAggregate")} joins=${cnt(plan, "Join")} " +
+      s"rdds=${cnt(plan, "Scan ExistingRDD")}")
+    s.stop()
   }
 
   /** Timing + row-parity check for the rewritten simhash banding:
