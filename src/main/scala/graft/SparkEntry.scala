@@ -115,8 +115,10 @@ object SparkEntry {
 
     // ---- cardinality (§2.5) ----
     "q_cardinality" -> ((s, dir) => {
-      val pairs = t(s, dir, "lineitem")
-        .select("l_partkey", "l_suppkey").distinct()
+      // pairs feeds three branches; without a boundary the 600 k-row
+      // distinct re-executes per branch (no-CSE rule)
+      val pairs = graft.core.SparkUtil.materializeOnce(
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct())
       val nSupp = pairs.groupBy("l_partkey")
         .agg(countDistinct("l_suppkey").as("n_objects"))
       val nPart = pairs.groupBy("l_suppkey")

@@ -68,8 +68,13 @@ object Dedup {
     // the minhash signature pass is the compute-heavy stage — spread it
     // when the input's file layout under-parallelizes (see SparkUtil)
     val documents = graft.core.SparkUtil.spread(documentsIn)
+    // materialize the signatures: the banding table self-joins below, and
+    // Catalyst plans each join side as an independent subtree (no CSE) —
+    // without the boundary every document is shingled and min-hashed
+    // TWICE. 32 longs/doc materialized vs ~16k hash mixes re-run.
     val sigs = documents.select(col("doc_id"),
       minhashSignature(col("text"), perms, k).as("sig"))
+      .localCheckpoint(true)
     val banded = sigs.withColumn("band",
       explode(sequence(lit(0), lit(bands - 1))))
       .withColumn("bucket",
@@ -215,11 +220,17 @@ object Dedup {
     val bands = udf((t: String) => TextHash.simhashBands(t, maxHamming))
 
     // ONE text hash per doc: the kernel returns (sig, combo, key) triples
-    // and rides inside the Generate (evaluated once per input row); a
-    // separate sig UDF would tokenize+hash every text a second time, and
-    // no-CSE Catalyst cannot share it
-    val chunked = documents
-      .select(col("doc_id"), explode(bands(col("text"))).as("ck"))
+    // and rides in a single projection (a separate sig UDF would
+    // tokenize+hash every text a second time — no-CSE Catalyst cannot
+    // share it), MATERIALIZED before the explode because the banding
+    // table self-joins below and each join side would otherwise re-run
+    // the kernel over the corpus. ~1 KB/doc materialized vs re-tokenizing
+    // the text; the post-boundary explode is pure array iteration.
+    val sigRows = documents
+      .select(col("doc_id"), bands(col("text")).as("bands"))
+      .localCheckpoint(true)
+    val chunked = sigRows
+      .select(col("doc_id"), explode(col("bands")).as("ck"))
       .select(col("doc_id"), col("ck._1").as("sig"),
         col("ck._2").as("combo"), col("ck._3").as("key"))
     val a = chunked.select(col("combo"), col("key"),

@@ -35,9 +35,12 @@ object Cardinality {
     val subjKey = sideKey(df, "subject", validScope)
     val objKey = sideKey(df, "object", validScope)
 
-    val keyed = df
+    // keyed is consumed from three branches (two partner-count aggs plus
+    // the join-back); materialize expensive upstreams once (no-CSE rule,
+    // see SparkUtil.materializeOnce — scan-shaped inputs pass through)
+    val keyed = SparkUtil.materializeOnce(df
       .withColumn("__subj_key", subjKey)
-      .withColumn("__obj_key", objKey)
+      .withColumn("__obj_key", objKey))
     // NoTermFound rows are excluded from partner counting (util.py:433-436)
     val counted = keyed.filter(
       colOr(df, SubjectId) =!= NoTermFound && colOr(df, ObjectId) =!= NoTermFound)

@@ -60,25 +60,8 @@ object MergeReconcile {
     df.join(remove.select(keys.map(col): _*).distinct(), keys, "left_anti")
   }
 
-  /** Materialization boundary for operators that consume a DataFrame from
-    * several plan branches: Catalyst does not CSE across branches, so
-    * without a boundary the upstream plan re-executes once PER branch —
-    * measured live on the reconcile at sf0.1: 18 re-scans of the source
-    * parquet and 61 exchanges in one executed plan. An eager
-    * localCheckpoint caps that at one execution. Inputs whose plan is
-    * scan-shaped (no aggregate/join/dedup/generate upstream) are left
-    * alone: re-reading a columnar scan 2-3× streams and costs no shuffle,
-    * while checkpointing a 100 TB raw input would copy it to executor
-    * storage for no savings.
-    */
-  private def materializeOnce(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical._
-    val expensive = df.queryExecution.logical.collectFirst {
-      case _: Aggregate | _: Join | _: Deduplicate | _: Distinct |
-           _: Window | _: Generate | _: Sort => true
-    }.nonEmpty
-    if (expensive) df.localCheckpoint(eager = true) else df
-  }
+  private def materializeOnce(df: DataFrame): DataFrame =
+    SparkUtil.materializeOnce(df)
 
   /** Keep only rows whose confidence equals the (S,O[,P]) group max;
     * null-confidence rows bypass; then single-predicate reconciliation of
@@ -158,11 +141,13 @@ object MergeReconcile {
     * (reference `deal_with_negation`; deterministic tie-break replaces
     * `.sample()`).
     */
-  def dealWithNegation(df: DataFrame): DataFrame = {
-    if (!hasCol(df, PredicateModifier)) return df
-    val spark = df.sparkSession
+  def dealWithNegation(dfIn: DataFrame): DataFrame = {
+    if (!hasCol(dfIn, PredicateModifier)) return dfIn
+    val spark = dfIn.sparkSession
     import spark.implicits._
 
+    // consumed from the pos/neg split and the re-join branches below
+    val df = materializeOnce(dfIn)
     val (nonNull, nanRows, hadConf) = splitByConfidence(df)
     val workCols = nonNull.columns.toSeq
 

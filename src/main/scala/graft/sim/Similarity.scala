@@ -118,25 +118,42 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
-  /** Distinct (query, corpus) candidate pairs sharing a table signature —
-    * the pre-rerank volume (`private[graft]` for the scaling test).
+  /** Distinct (query, corpus) candidate pairs sharing a table signature,
+    * with both embeddings attached for the exact re-rank
+    * (`private[graft]` for the scaling test).
+    *
+    * Scale shape (same rules as the minhash banding): the ×tables explode
+    * and the band join carry ONLY (id, table, sig) — shuffling embeddings
+    * through the band replicas would move the corpus `tables`× — and the
+    * (rare) surviving pairs join the vectors back. Signatures are
+    * materialized once: the band join's sides are independent subtrees
+    * (no-CSE Catalyst), so without the boundary every vector would be
+    * SRP-hashed twice; in near-dup mode (`queries eq corpus`) both sides
+    * read the one materialized table.
     */
   private[graft] def lshCandidates(corpus: DataFrame, queries: DataFrame,
       bits: Int, tables: Int): DataFrame = {
     val b = if (bits > 0) bits else autoBits(corpus.count())
-    // per-table signatures with table-specific seed
-    val c = graft.core.SparkUtil.spread(corpus)
-      .select(col("vec_id").as("corpus_id"),
-        col("embedding").as("corpus_vec"))
-      .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
-      .withColumn("sig", srpTableSig(col("corpus_vec"), b))
-    val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("query_vec"))
-      .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
-      .withColumn("sig", srpTableSig(col("query_vec"), b))
-    c.join(q, Seq("table", "sig"))
+    def sigTable(df: DataFrame, idAlias: String): DataFrame =
+      graft.core.SparkUtil.spread(df)
+        .select(col("vec_id").as(idAlias), col("embedding").as("__v"))
+        .withColumn("table", explode(sequence(lit(0), lit(tables - 1))))
+        .withColumn("sig", srpTableSig(col("__v"), b))
+        .drop("__v")
+        .localCheckpoint(true)
+    val cs = sigTable(corpus, "corpus_id")
+    val qs =
+      if (queries eq corpus)
+        cs.select(col("corpus_id").as("query_id"), col("table"), col("sig"))
+      else sigTable(queries, "query_id")
+    cs.join(qs, Seq("table", "sig"))
       .filter(col("corpus_id") =!= col("query_id"))
+      .select("query_id", "corpus_id")
       .dropDuplicates("query_id", "corpus_id")
+      .join(corpus.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("corpus_vec")), Seq("corpus_id"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("query_vec")), Seq("query_id"))
   }
 
   /** Table-seeded SRP signature (seed derived from the `table` column). */
