@@ -292,11 +292,16 @@ object MergeReconcile {
     // ORDERED (subject_id, object_id) pair of ids.
     def pairKey(df: DataFrame) =
       struct(colOr(df, SubjectId).as("s"), colOr(df, ObjectId).as("o"))
-    val k1 = df1.select(pairKey(df1).as("__pair")).distinct()
-    val k2 = df2.select(pairKey(df2).as("__pair")).distinct()
-    val unique1 = k1.join(k2, Seq("__pair"), "left_anti")
-    val unique2 = k2.join(k1, Seq("__pair"), "left_anti")
-    val common = k1.join(k2, Seq("__pair"), "left_semi")
+    // each key set feeds three branches (both uniques + common) and each
+    // unique set three more (two annotate joins + its count) — without
+    // boundaries the distincts re-execute ~6× (no-CSE rule)
+    val k1 = SparkUtil.materializeOnce(
+      df1.select(pairKey(df1).as("__pair")).distinct())
+    val k2 = SparkUtil.materializeOnce(
+      df2.select(pairKey(df2).as("__pair")).distinct())
+    val unique1 = SparkUtil.materializeOnce(k1.join(k2, Seq("__pair"), "left_anti"))
+    val unique2 = SparkUtil.materializeOnce(k2.join(k1, Seq("__pair"), "left_anti"))
+    val common = k1.join(k2, Seq("__pair"), "left_semi") // consumed once
 
     def annotate(df: DataFrame, uniques: DataFrame, uniqueLabel: String) = {
       val keyed = df.withColumn("__pair", pairKey(df))
