@@ -290,13 +290,8 @@ object Bench {
         xs.length < 12 &&
           elapsed + xs.map(_.sec).min <= (if (conv) budgetSec else hardSec)
       }
-      val level: Option[Int] =
-        if (!c4 && !c1 && sinceLast1 >= 2 && affordable(1)) Some(1)
-        else if (!c4 && affordable(4)) Some(4)
-        else if (!c1 && affordable(1)) Some(1)
-        else if (affordable(4)) Some(4)
-        else if (affordable(1)) Some(1)
-        else None
+      val level = BenchProtocol.nextLevel(c4, c1, sinceLast1,
+        affordable(4), affordable(1))
       level match {
         case Some(4) =>
           fs += sampleLevel(4, warm = false)

@@ -68,6 +68,27 @@ object BenchProtocol {
     if (ns.isEmpty || fs.isEmpty) 0.0
     else (ns.map(_.sec).min / fs.map(_.sec).min) / 4.0
 
+  /** Which level to sample next (None = stop). Pure policy, extracted for
+    * unit tests:
+    *  - unconverged levels first — each level keeps drawing while its own
+    *    honest-window samples have not converged;
+    *  - when both need draws, 4t goes twice per 1t (`sinceLast1` counts
+    *    4t draws since the last 1t): 4t is 3-4× cheaper and its windows
+    *    are noisier, but the 1t minimum must keep converging too or a
+    *    stolen numerator inflates the ratio;
+    *  - a converged level may keep tightening (its min only improves)
+    *    while the budget allows — affordability is decided by the caller
+    *    (soft budget for converged levels, hard cap for unconverged).
+    */
+  def nextLevel(c4: Boolean, c1: Boolean, sinceLast1: Int,
+      afford4: Boolean, afford1: Boolean): Option[Int] =
+    if (!c4 && !c1 && sinceLast1 >= 2 && afford1) Some(1)
+    else if (!c4 && afford4) Some(4)
+    else if (!c1 && afford1) Some(1)
+    else if (afford4) Some(4)
+    else if (afford1) Some(1)
+    else None
+
   /** Same-window paired ratios, emitted only when trustworthy: a
     * (1t, 4t) pair of adjacent samples qualifies iff BOTH members pass
     * their level's acceptance gates, and the ratio is ≤ 1.0 — a parallel

@@ -79,9 +79,10 @@ object Drive {
     }
   }
 
-  /** Timing + plan-shape diagnosis for q_reconcile_sssom at sf0.1:
-    * headline config (local[32], AQE on), 4 timed runs after a warm run,
-    * plus exchange/scan counts from the executed plan.
+  /** Timing + plan-shape diagnosis for headline queries at sf0.1 (headline
+    * config: local[32], AQE on; 4 timed runs after a warm run, plus
+    * exchange/scan counts from the executed plan). Query names from
+    * DRIVE_RECONCILE (comma-separated; "1" = q_reconcile_sssom).
     */
   def reconcileCheck(): Unit = {
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -93,18 +94,25 @@ object Drive {
       .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
-    def q = graft.SparkEntry.queries("q_reconcile_sssom")(s, dir)
-    val warm = q.count()
-    val times = (1 to 4).map { _ =>
-      val t0 = System.nanoTime(); val n = q.count()
-      assert(n == warm); (System.nanoTime() - t0) / 1e9
+    val names = sys.env("DRIVE_RECONCILE") match {
+      case "1" => Seq("q_reconcile_sssom")
+      case csv => csv.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     }
-    val plan = q.queryExecution.executedPlan.toString
-    def cnt(p: String, needle: String) = needle.r.findAllIn(p).length
-    println(f"rows=$warm min=${times.min}%.2f all=[${times.map(t => f"$t%.2f").mkString(",")}]")
-    println(s"exchanges=${cnt(plan, "Exchange")} scans=${cnt(plan, "Scan parquet")} " +
-      s"aggs=${cnt(plan, "HashAggregate")} joins=${cnt(plan, "Join")} " +
-      s"rdds=${cnt(plan, "Scan ExistingRDD")}")
+    names.foreach { name =>
+      def q = graft.SparkEntry.queries(name)(s, dir)
+      val warm = q.count()
+      val times = (1 to 4).map { _ =>
+        val t0 = System.nanoTime(); val n = q.count()
+        assert(n == warm); (System.nanoTime() - t0) / 1e9
+      }
+      val plan = q.queryExecution.executedPlan.toString
+      def cnt(p: String, needle: String) = needle.r.findAllIn(p).length
+      println(f"$name%s rows=$warm min=${times.min}%.2f " +
+        s"all=[${times.map(t => f"$t%.2f").mkString(",")}] " +
+        s"exchanges=${cnt(plan, "Exchange")} scans=${cnt(plan, "Scan parquet")} " +
+        s"aggs=${cnt(plan, "HashAggregate")} joins=${cnt(plan, "Join")} " +
+        s"rdds=${cnt(plan, "Scan ExistingRDD")}")
+    }
     s.stop()
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import BenchProtocol.{Sample, accepted, converged, efficiency, pairedEfficiencies}
+import BenchProtocol.{Sample, accepted, converged, efficiency, nextLevel, pairedEfficiencies}
 
 /** Estimator rules against recorded sample vectors from real bench runs
   * (the committed round-3 artifact) plus synthetic edge cases.
@@ -119,5 +119,30 @@ class BenchProtocolSpec extends AnyFunSuite {
     val f = s(34.0, 120.0, 65.0)
     val out = pairedEfficiencies(Seq((n, f)), Seq(n), Seq(f))
     assert(out.length == 1 && math.abs(out.head - 0.8676) < 0.001)
+  }
+
+  test("sampling policy: unconverged levels first, 4t twice per 1t, stop " +
+      "only when nothing is affordable") {
+    // both unconverged: 4,4,1 interleave
+    assert(nextLevel(c4 = false, c1 = false, sinceLast1 = 0,
+      afford4 = true, afford1 = true).contains(4))
+    assert(nextLevel(c4 = false, c1 = false, sinceLast1 = 1,
+      afford4 = true, afford1 = true).contains(4))
+    assert(nextLevel(c4 = false, c1 = false, sinceLast1 = 2,
+      afford4 = true, afford1 = true).contains(1))
+    // the r3-driver failure shape: 1t stolen/unconverged, 4t converged —
+    // the 1t level MUST keep drawing (symmetric retry, the ADVICE item)
+    assert(nextLevel(c4 = true, c1 = false, sinceLast1 = 0,
+      afford4 = true, afford1 = true).contains(1))
+    // 1t unaffordable (hard cap near): fall back to tightening 4t
+    assert(nextLevel(c4 = true, c1 = false, sinceLast1 = 0,
+      afford4 = true, afford1 = false).contains(4))
+    // both converged, inside soft budget: keep tightening the cheap level
+    assert(nextLevel(c4 = true, c1 = true, sinceLast1 = 0,
+      afford4 = true, afford1 = true).contains(4))
+    // nothing affordable: stop — the only stop condition; the efficiency
+    // value never appears in this policy (no optional stopping)
+    assert(nextLevel(c4 = false, c1 = false, sinceLast1 = 2,
+      afford4 = false, afford1 = false).isEmpty)
   }
 }
