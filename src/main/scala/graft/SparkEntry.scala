@@ -246,6 +246,12 @@ object SparkEntry {
     "q_doc_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 8)),
 
+    // 128-bit simhash — the wide-hash scale arm: double-width combo keys
+    // (quadratically lower uniform-collision candidate floor), Hamming
+    // budgets past ~10 bits; witness = EQUALS brute force at sf0.01
+    "q_doc_simhash128_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDups128(t(s, dir, "documents"), maxHamming = 12)),
+
     // ---- multimodal plumbing (stubbed decode; rows-only) ----
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(

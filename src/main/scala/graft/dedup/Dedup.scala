@@ -155,36 +155,96 @@ object Dedup {
       when(call_function("shiftrightunsigned", x, lit(offsets(i)))
         .bitwiseAND(lit(mask)) === 0L, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    // canonical combo as a function of the m-bit clean mask. Catalyst
-    // inlines aliased subtrees into every reference (no CSE), so deriving
-    // first/second-set-bit indexes arithmetically from `cm` replicates
-    // the m-CASE mask tree ~6× into the join condition (measured ~600
-    // int ops per candidate row); a 2^m lookup-table literal references
-    // `cm` exactly once. The measured win was at m = 10 (1 KB table);
-    // capped at 2^14 (64 KB) — beyond that the table bloats plan
-    // serialization and task binaries for no measured benefit, so larger
-    // maxHamming falls back to the arithmetic bit-trick form.
-    val canon: Column =
-      if (nChunks <= 14) {
-        val table = Array.tabulate(1 << nChunks) { cmv =>
-          val rest = cmv & (cmv - 1)
-          if (cmv == 0 || rest == 0) -1 // < 2 clean chunks: never matches
-          else Integer.numberOfTrailingZeros(cmv) * nChunks +
-            Integer.numberOfTrailingZeros(rest)
-        }
-        element_at(lit(table), cm.cast("int") + 1)
-      } else {
-        // lowest set bit b: bit_count((b & -b) - 1); clearing it
-        // (cm & (cm-1)) yields the second-lowest. On rejected rows the
-        // -1 underflow just yields a never-matching 64.
-        def lowestIdx(c: Column): Column =
-          call_function("bit_count", c.bitwiseAND(-c) - 1)
-        lowestIdx(cm) * nChunks + lowestIdx(cm.bitwiseAND(cm - 1))
-      }
     joined
       .filter(call_function("bit_count", x) <= maxHamming &&
-        col("combo") === canon)
+        col("combo") === canonicalCombo(cm, nChunks))
       .withColumn("hamming", call_function("bit_count", x).cast("long"))
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Canonical combo as a function of the m-bit clean mask: the
+    * lexicographically-first clean chunk pair, encoded i·m + j. Catalyst
+    * inlines aliased subtrees into every reference (no CSE), so deriving
+    * first/second-set-bit indexes arithmetically from `cm` replicates
+    * the m-CASE mask tree ~6× into the join condition (measured ~600
+    * int ops per candidate row); a 2^m lookup-table literal references
+    * `cm` exactly once. The measured win was at m = 10 (1 KB table);
+    * capped at 2^14 (64 KB) — beyond that the table bloats plan
+    * serialization and task binaries for no measured benefit, so larger
+    * maxHamming falls back to the arithmetic bit-trick form.
+    */
+  private def canonicalCombo(cm: Column, nChunks: Int): Column =
+    if (nChunks <= 14) {
+      val table = Array.tabulate(1 << nChunks) { cmv =>
+        val rest = cmv & (cmv - 1)
+        if (cmv == 0 || rest == 0) -1 // < 2 clean chunks: never matches
+        else Integer.numberOfTrailingZeros(cmv) * nChunks +
+          Integer.numberOfTrailingZeros(rest)
+      }
+      element_at(lit(table), cm.cast("int") + 1)
+    } else {
+      // lowest set bit b: bit_count((b & -b) - 1); clearing it
+      // (cm & (cm-1)) yields the second-lowest. On rejected rows the
+      // -1 underflow just yields a never-matching 64.
+      def lowestIdx(c: Column): Column =
+        call_function("bit_count", c.bitwiseAND(-c) - 1)
+      lowestIdx(cm) * nChunks + lowestIdx(cm.bitwiseAND(cm - 1))
+    }
+
+  /** 128-bit SimHash near-dups — the documented scale move past the
+    * 64-bit hash: same C(m,2) two-chunk combination banding and
+    * canonical-route filter (full recall at Hamming ≤ maxHamming by
+    * pigeonhole, exactly-once per pair, no pair-dedup shuffle), but the
+    * combo keys carry 2·⌊128/m⌋ signature bits — double the width — so
+    * the uniform-collision candidate floor drops quadratically and
+    * Hamming budgets past ~10 bits stay usable. Kernel returns
+    * (lo, hi, combo, key) in one pass; signatures materialized before
+    * the self-join (each join side is an independent subtree).
+    */
+  def simhashNearDups128(documentsIn: DataFrame, maxHamming: Int = 12): DataFrame = {
+    // 62 keeps the clean mask in one long (m = maxHamming + 2 ≤ 64) —
+    // far past any useful near-dup Hamming budget on a 128-bit simhash
+    require(maxHamming >= 0 && maxHamming <= 62,
+      s"maxHamming must be in [0, 62], got $maxHamming")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val nChunks = maxHamming + 2
+    val widths = TextHash.chunkWidths(nChunks, 128)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val bands = udf((t: String) => TextHash.simhashBands128(t, maxHamming))
+
+    val sigRows = documents
+      .select(col("doc_id"), bands(col("text")).as("bands"))
+      .localCheckpoint(true)
+    val chunked = sigRows
+      .select(col("doc_id"), explode(col("bands")).as("ck"))
+      .select(col("doc_id"), col("ck._1").as("lo"), col("ck._2").as("hi"),
+        col("ck._3").as("combo"), col("ck._4").as("key"))
+    val a = chunked.select(col("combo"), col("key"),
+      col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = chunked.select(col("combo"), col("key"),
+      col("doc_id").as("doc_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+    val joined = a.join(b, Seq("combo", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+
+    val xlo = col("lo_a").bitwiseXOR(col("lo_b"))
+    val xhi = col("hi_a").bitwiseXOR(col("hi_b"))
+    // bit i of cm = 1 iff chunk i of the 128-bit xor is all-zero; chunks
+    // may straddle the word boundary — pure Column shift/mask arithmetic
+    val cm = (0 until nChunks).map { i =>
+      val off = offsets(i); val w = widths(i)
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      val v: Column =
+        if (off + w <= 64) call_function("shiftrightunsigned", xlo, lit(off))
+        else if (off >= 64) call_function("shiftrightunsigned", xhi, lit(off - 64))
+        else call_function("shiftrightunsigned", xlo, lit(off))
+          .bitwiseOR(call_function("shiftleft", xhi, lit(64 - off)))
+      when(v.bitwiseAND(lit(mask)) === 0L, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val hamming = (call_function("bit_count", xlo) +
+      call_function("bit_count", xhi)).cast("long")
+    joined
+      .filter(hamming <= maxHamming && col("combo") === canonicalCombo(cm, nChunks))
+      .withColumn("hamming", hamming)
       .select("doc_a", "doc_b", "hamming")
   }
 

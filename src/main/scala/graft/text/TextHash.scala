@@ -167,6 +167,80 @@ object TextHash extends Serializable {
     out
   }
 
+  /** 128-bit SimHash over token hashes: two 64-bit words from
+    * independently mixed token hashes (word 0 = fnv, word 1 = remixed).
+    * The scale move past the 64-bit hash: with m = maxHamming + 2 chunks
+    * the two-chunk combination keys carry 2·⌊128/m⌋ signature bits —
+    * double the 64-bit keys' width — so the uniform-collision floor of
+    * the banding join drops quadratically, and Hamming budgets beyond
+    * ~10 bits keep usefully wide keys.
+    */
+  def simhash128(text: String): (Long, Long) = {
+    val t = tokens(text)
+    val counts = new Array[Int](128)
+    var i = 0
+    while (i < t.length) {
+      val h0 = fnv(t(i))
+      val h1 = mix(h0, 0x128L)
+      var b = 0
+      while (b < 64) {
+        if (((h0 >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        if (((h1 >>> b) & 1L) == 1L) counts(64 + b) += 1 else counts(64 + b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var lo = 0L; var hi = 0L; var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) lo |= (1L << b)
+      if (counts(64 + b) > 0) hi |= (1L << b)
+      b += 1
+    }
+    (lo, hi)
+  }
+
+  /** Even chunk widths for an m-way split of `totalBits` bits. */
+  def chunkWidths(m: Int, totalBits: Int): Array[Int] =
+    Array.tabulate(m)(i => totalBits / m + (if (i < totalBits % m) 1 else 0))
+
+  /** Bits [off, off+w) of the 128-bit (lo, hi) value. */
+  def bits128(lo: Long, hi: Long, off: Int, w: Int): Long = {
+    val mask = if (w >= 64) -1L else (1L << w) - 1L
+    val v =
+      if (off + w <= 64) lo >>> off
+      else if (off >= 64) hi >>> (off - 64)
+      else (lo >>> off) | (hi << (64 - off))
+    v & mask
+  }
+
+  /** All C(m,2) two-chunk combination band keys of a text's 128-bit
+    * simhash, signature embedded per element — same single-pass contract
+    * as `simhashBands` (one tokenize+hash per document, rides in one
+    * projection).
+    */
+  def simhashBands128(text: String, maxHamming: Int): Array[(Long, Long, Int, Long)] = {
+    val m = maxHamming + 2
+    val (lo, hi) = simhash128(text)
+    val widths = chunkWidths(m, 128)
+    val vals = new Array[Long](m)
+    var off = 0; var i = 0
+    while (i < m) {
+      vals(i) = bits128(lo, hi, off, widths(i))
+      off += widths(i); i += 1
+    }
+    val out = new Array[(Long, Long, Int, Long)](m * (m - 1) / 2)
+    var idx = 0; i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        out(idx) = (lo, hi, i * m + j, mix(mix(0x5eed128L, vals(i)), vals(j)))
+        idx += 1; j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
   /** Sign-random-projection signature of a float vector: bit j = sign of
     * the dot product with a pseudo-hyperplane whose ±1 weights come from
     * mix(seed·j, dim index).

@@ -33,6 +33,30 @@ class TestdataWitnessSpec extends SparkSpec {
     assert(brute.exceptAll(lsh).count() == 0)
   }
 
+  test("q_doc_simhash128_neardup @ sf0.01 EQUALS brute force") {
+    assume(has("documents"))
+    import graft.text.TextHash
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = SparkEntry.queries("q_doc_simhash128_neardup")(spark, sfDir)
+    val sig = udf((t: String) => TextHash.simhash128(t))
+    val withSig = docs.select(col("doc_id"), sig(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("lo"), col("s._2").as("hi"))
+    val brute = withSig
+      .select(col("doc_id").as("doc_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+      .crossJoin(withSig.select(col("doc_id").as("doc_b"),
+        col("lo").as("lo_b"), col("hi").as("hi_b")))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming",
+        (call_function("bit_count", col("lo_a").bitwiseXOR(col("lo_b"))) +
+          call_function("bit_count", col("hi_a").bitwiseXOR(col("hi_b"))))
+          .cast("long"))
+      .filter(col("hamming") <= 12)
+      .select("doc_a", "doc_b", "hamming")
+    assert(out.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(out).count() == 0)
+    assert(out.count() > 0) // the sf0.01 corpus has 128-bit near-dups
+  }
+
   test("q_doc_minhash_neardup @ sf0.01: verified subset; exact 25-pair set") {
     assume(has("documents"))
     val lsh = SparkEntry.queries("q_doc_minhash_neardup")(spark, sfDir)

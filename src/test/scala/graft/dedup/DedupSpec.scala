@@ -90,6 +90,49 @@ class DedupSpec extends SparkSpec {
         s"combination key narrower than single-chunk at maxHamming=$maxH")
   }
 
+  test("simhash128 near-dups EQUAL brute force (full recall), straddling " +
+      "chunks included") {
+    val sig = udf((t: String) => TextHash.simhash128(t))
+    val withSig = docsDf.select(col("doc_id"), sig(col("text")).as("s"))
+      .select(col("doc_id"), col("s._1").as("lo"), col("s._2").as("hi"))
+    val a = withSig.select(col("doc_id").as("doc_a"),
+      col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = withSig.select(col("doc_id").as("doc_b"),
+      col("lo").as("lo_b"), col("hi").as("hi_b"))
+    // maxHamming 12 → m = 14 chunks of width 10/9 over 128 bits, several
+    // straddling the 64-bit word boundary — the bits128 extraction and
+    // the Column shift/mask mirror must agree exactly
+    for (maxH <- Seq(4, 12)) {
+      val brute = a.crossJoin(b)
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("hamming",
+          (call_function("bit_count", col("lo_a").bitwiseXOR(col("lo_b"))) +
+            call_function("bit_count", col("hi_a").bitwiseXOR(col("hi_b"))))
+            .cast("long"))
+        .filter(col("hamming") <= maxH)
+        .select("doc_a", "doc_b", "hamming")
+      val lsh = Dedup.simhashNearDups128(docsDf, maxHamming = maxH)
+      assert(lsh.exceptAll(brute).count() == 0, s"false positives at $maxH")
+      assert(brute.exceptAll(lsh).count() == 0, s"missed pairs at $maxH")
+    }
+  }
+
+  test("simhash128 kernel: chunk extraction matches word arithmetic on " +
+      "boundary-straddling chunks") {
+    // 128-bit value with a recognizable bit pattern around the boundary
+    val lo = 0xF0F0F0F0F0F0F0F0L
+    val hi = 0x0F0F0F0F0F0F0F0FL
+    // chunk [60, 70): bits 60-63 of lo = 0xF, bits 0-5 of hi = 0xF →
+    // value = (lo >>> 60) | (hi << 4) masked to 10 bits = 0xFF
+    assert(TextHash.bits128(lo, hi, 60, 10) == 0xFFL)
+    assert(TextHash.bits128(lo, hi, 0, 8) == 0xF0L)
+    assert(TextHash.bits128(lo, hi, 64, 8) == 0x0FL)
+    assert(TextHash.bits128(lo, hi, 120, 8) == 0x0FL)
+    // widths tile exactly
+    for (m <- Seq(6, 14, 30))
+      assert(TextHash.chunkWidths(m, 128).sum == 128)
+  }
+
   test("minhash near-dups: subset of brute force, planted near-dups found") {
     val k = 3; val threshold = 0.5
     val brute = docsDf.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
