@@ -22,9 +22,9 @@ object Bench {
     "q_doc_exact_dedup", "q_doc_quality", "q_doc_lang",
     "q_doc_minhash_neardup", "q_doc_simhash_neardup",
     "q_doc_simhash128_neardup",
-    "q_embed_norm", "q_embed_topk", "q_embed_ann_lsh", "q_embed_neardup",
-    "q_embed_neardup_lsh", "q_multimodal_features", "q_cc_small",
-    "q_kg_triples")
+    "q_embed_norm", "q_embed_topk", "q_embed_ann_lsh", "q_embed_ann_ivf",
+    "q_embed_neardup", "q_embed_neardup_lsh", "q_multimodal_features",
+    "q_cc_small", "q_kg_triples")
 
   private def session(threads: Int, codegen: Boolean = true,
       aqe: Boolean = true, partsPerCore: Int = 1): SparkSession = {

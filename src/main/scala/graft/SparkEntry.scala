@@ -224,6 +224,18 @@ object SparkEntry {
       Similarity.lshTopK(emb, queriesDf, k = 10)
     }),
 
+    // IVF ANN — the inverted-file scale path beside SRP-LSH: √n-sized
+    // deterministic coarse quantizer, nprobe inverted-list equi-join,
+    // exact re-rank (rows-only; witness: cosines bit-exact vs kernel)
+    "q_embed_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+      // nprobe 8: the testdata embeddings are weakly clustered, so IVF
+      // recall ≈ probed-list coverage — 8/√n lists keeps majority recall
+      // while still touching a sub-linear slice of the corpus
+      Similarity.ivfTopK(emb, queriesDf, k = 10, nprobe = 8)
+    }),
+
     // exact arm: the O(n²) broadcast baseline — kept as the DuckDB-oracle
     // form and the sf0.01 exactness anchor (same role as q_embed_topk);
     // the scale path is q_embed_neardup_lsh below

@@ -118,6 +118,62 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** IVF (inverted-file) ANN — the second scale path beside SRP-LSH: a
+    * deterministic, training-free coarse quantizer. `nlist` centroids are
+    * the corpus rows with the smallest id hash (stable under any
+    * partitioning/order); every corpus vector joins its single nearest
+    * centroid's inverted list (one broadcast argmin pass, JIT kernel);
+    * a query probes its `nprobe` nearest lists and re-ranks by exact
+    * cosine. Per-query candidates ≈ n·nprobe/nlist — with the
+    * auto default nlist ≈ √n that is ≈ nprobe·√n, sub-linear per query —
+    * and the inverted-list lookup is an equi-join on cell id, never a
+    * cartesian. The centroid table is collect+broadcast: nlist ≈ √n
+    * keeps it driver-sized at any corpus scale (10⁹ vectors → ~31.6 k
+    * centroids ≈ 8 MB at dim 64).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+      nlist: Int = -1, nprobe: Int = 4): DataFrame = {
+    val cands = ivfCandidates(corpus, queries, nlist, nprobe)
+      .withColumn("cos", cosine(col("corpus_vec"), col("query_vec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
+  /** IVF candidate pairs with embeddings attached (`private[graft]` for
+    * the candidate-volume scaling test).
+    */
+  private[graft] def ivfCandidates(corpus: DataFrame, queries: DataFrame,
+      nlist: Int, nprobe: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val n = corpus.count()
+    val lists =
+      if (nlist > 0) nlist
+      else math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+    val centroids: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(lists)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cell1 = udf((v: Seq[Float]) =>
+      TextHash.nearestCentroids(v, bc.value, 1).head)
+    val cellP = udf((v: Seq[Float]) =>
+      TextHash.nearestCentroids(v, bc.value, nprobe))
+    val c = graft.core.SparkUtil.spread(corpus)
+      .select(col("vec_id").as("corpus_id"), col("embedding").as("corpus_vec"))
+      .withColumn("cell", cell1(col("corpus_vec")))
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .withColumn("cell", explode(cellP(col("query_vec"))))
+    c.join(q, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .drop("cell")
+  }
+
   /** Distinct (query, corpus) candidate pairs sharing a table signature,
     * with both embeddings attached for the exact re-rank
     * (`private[graft]` for the scaling test).

@@ -315,6 +315,44 @@ object TextHash extends Serializable {
     else jaccardSorted(sa, sb)
   }
 
+  /** Indexes of the `nprobe` nearest centroids by cosine similarity,
+    * descending (ties by lower index) — the IVF coarse-quantizer kernel:
+    * one allocation-light pass over the broadcast centroid table plus an
+    * O(nprobe·L) partial selection (nprobe is single-digit).
+    */
+  def nearestCentroids(v: Seq[Float], centroids: Array[Array[Float]],
+      nprobe: Int): Array[Int] = {
+    val L = centroids.length
+    val sims = new Array[Double](L)
+    var i = 0
+    while (i < L) {
+      val c = centroids(i)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val it = v.iterator; var d = 0
+      while (it.hasNext && d < c.length) {
+        val x = it.next().toDouble; val y = c(d).toDouble
+        dot += x * y; na += x * x; nb += y * y; d += 1
+      }
+      sims(i) = if (na == 0.0 || nb == 0.0) -2.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      i += 1
+    }
+    val kSel = math.min(nprobe, L)
+    val out = new Array[Int](kSel)
+    val taken = new Array[Boolean](L)
+    var r = 0
+    while (r < kSel) {
+      var best = -1; var bestSim = -3.0
+      i = 0
+      while (i < L) {
+        if (!taken(i) && sims(i) > bestSim) { best = i; bestSim = sims(i) }
+        i += 1
+      }
+      taken(best) = true; out(r) = best; r += 1
+    }
+    out
+  }
+
   /** Cosine similarity of two float vectors. */
   def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0

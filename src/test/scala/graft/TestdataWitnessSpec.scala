@@ -110,6 +110,27 @@ class TestdataWitnessSpec extends SparkSpec {
     assert(lsh.nonEmpty && lsh.size <= exact.size)
   }
 
+  test("q_embed_ann_ivf @ sf0.01: cosines bit-exact vs kernel; full top-10 " +
+      "per query; majority recall vs exact top-10") {
+    assume(has("embeddings"))
+    val out = SparkEntry.queries("q_embed_ann_ivf")(spark, sfDir)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    out.foreach { case (q, c, cos, _) =>
+      assert(cos == TextHash.cosine(vecs(c), vecs(q)),
+        s"cos($q,$c) not bit-exact")
+    }
+    assert(out.length == 50)
+    val exact = SparkEntry.queries("q_embed_topk")(spark, sfDir)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val got = out.map(r => (r._1, r._2)).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall vs exact top-10: $recall")
+  }
+
   test("q_embed_ann_lsh @ sf0.01: cosines bit-exact vs kernel; pinned rows") {
     assume(has("embeddings"))
     val out = SparkEntry.queries("q_embed_ann_lsh")(spark, sfDir)

@@ -20,6 +20,12 @@ class SimilaritySpec extends SparkSpec {
   }
   private lazy val emb = vecs.toDF("vec_id", "embedding")
 
+  // cluster-free random embeddings (uniform per-dim noise)
+  private def randEmb(n: Long) = (0L until n).map { i =>
+    (i, Array.tabulate(16)(d =>
+      ((TextHash.mix(i * 7 + 3, d.toLong) % 2001) - 1000) / 1000.0f))
+  }.toDF("vec_id", "embedding")
+
   test("bruteForceTopK returns exactly the k nearest by cosine, ranked") {
     val queries = emb.filter(col("vec_id") < 3)
     val topk = Similarity.bruteForceTopK(emb, queries, k = 5)
@@ -75,10 +81,6 @@ class SimilaritySpec extends SparkSpec {
     // query stay ≈ tables · perBucket — total candidate volume must grow
     // FAR slower than the corpus (sub-quadratic scaling evidence), and the
     // width itself must grow with log n
-    def randEmb(n: Long) = (0L until n).map { i =>
-      (i, Array.tabulate(16)(d =>
-        ((TextHash.mix(i * 7 + 3, d.toLong) % 2001) - 1000) / 1000.0f))
-    }.toDF("vec_id", "embedding")
     val (small, large) = (randEmb(1024), randEmb(16384))
     val queries = randEmb(8)
     val candSmall = Similarity.lshCandidates(small, queries, -1, 4).count()
@@ -91,6 +93,32 @@ class SimilaritySpec extends SparkSpec {
       s"candidates grew $candSmall -> $candLarge on a 16x corpus")
     assert(Similarity.autoBits(1024) < Similarity.autoBits(16384))
     assert(Similarity.autoBits(1L << 40) == 24) // clamp: raise tables instead
+  }
+
+  test("ivfTopK: high recall on clustered data; candidates sub-linear " +
+      "in corpus size; a corpus vector lives in exactly one cell") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.ivfTopK(emb, queries, k = 5, nprobe = 6)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+    // IVF assigns each corpus vector to ONE inverted list, so (q, c)
+    // candidate pairs are unique by construction — no dedup shuffle
+    val cands = Similarity.ivfCandidates(emb, queries, -1, 6)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect()
+    assert(cands.length == cands.toSet.size)
+    // volume scaling: auto nlist ≈ √n, so per-query candidates ≈
+    // nprobe·√n — a 16× corpus may grow candidates ~4×, far below the
+    // 16× a fixed-list scheme gives (cells are imbalanced on random
+    // data, so allow slack above the ideal 4×)
+    val q8 = randEmb(8)
+    val candSmall = Similarity.ivfCandidates(randEmb(1024), q8, -1, 4).count()
+    val candLarge = Similarity.ivfCandidates(randEmb(16384), q8, -1, 4).count()
+    assert(candSmall > 0)
+    assert(candLarge <= 8 * candSmall,
+      s"IVF candidates grew $candSmall -> $candLarge on a 16x corpus")
   }
 
   test("cosine kernel: unit self-similarity, zero-vector guard") {
