@@ -255,6 +255,13 @@ object SparkEntry {
     "q_doc_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)),
 
+    // exact n-gram Jaccard join (AllPairs prefix filter, full recall) —
+    // the one near-dup operator that is ANSI-SQL-expressible, so it
+    // carries a full DuckDB oracle rather than a rows-only witness
+    "q_doc_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardNearDups(t(s, dir, "documents"), k = 3,
+        threshold = 0.5)),
+
     "q_doc_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 8)),
 
@@ -452,6 +459,29 @@ object SparkEntry {
         |   + CAST((length(t) - length(replace(t, ' y ', ''))) / 3 AS BIGINT)
         |   + CAST((length(t) - length(replace(t, ' es ', ''))) / 4 AS BIGINT) AS es
         | FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS t FROM documents))""".stripMargin,
+
+    // exact shingle-set Jaccard pairs: string shingles here are bijective
+    // with the engine's chained-FNV shingle hashes (tokens contain no
+    // whitespace, so the ' '-join is injective), and both sides compute
+    // jaccard as the same inter/(n_a + n_b - inter) integer-ratio double
+    "q_doc_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |s0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+        | FROM d WHERE len(w) > 0),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  array_to_string(w[i:least(i + 2, len(w))], ' ') AS s FROM s0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT ip.doc_a, ip.doc_b,
+        | CAST(ip.i AS DOUBLE) / (na.n + nb.n - ip.i) AS jaccard
+        |FROM ip JOIN sz na ON ip.doc_a = na.doc_id
+        | JOIN sz nb ON ip.doc_b = nb.doc_id
+        |WHERE CAST(ip.i AS DOUBLE) / (na.n + nb.n - ip.i) >= 0.5""".stripMargin,
 
     "q_embed_norm" ->
       """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding,

@@ -302,6 +302,82 @@ object Dedup {
     (nChunks, widths, offsets, joined, chunked)
   }
 
+  /** Exact n-gram Jaccard near-dup join via AllPairs/PPJoin-style prefix
+    * filtering (public algorithm family: Bayardo et al., "Scaling Up All
+    * Pairs Similarity Search", WWW'07; Xiao et al., "Efficient Similarity
+    * Joins for Near Duplicate Detection", WWW'08): every document pair
+    * whose word-k-gram shingle-set Jaccard reaches `threshold`, found
+    * WITHOUT an all-pairs comparison and with full recall —
+    *
+    *  - order every set by global shingle rarity (document frequency asc,
+    *    hash asc: one total order for the whole corpus);
+    *  - prefix of a size-n set = its first n − ⌈t·n⌉ + 1 elements. If
+    *    J(A,B) ≥ t then the FIRST common element in the global order lies
+    *    inside BOTH prefixes (were it outside A's, the ≥ ⌈t·n_A⌉ ordered
+    *    predecessors in A would all be non-shared, capping the overlap at
+    *    ⌈t·n_A⌉ − 1 < t·n_A ≤ t/(1+t)·(n_A+n_B), the minimum overlap
+    *    J ≥ t demands given the size bound n_B ≥ t·n_A) — so the
+    *    equi-join on PREFIX shingles alone misses nothing;
+    *  - candidates then verify with the exact merge-count Jaccard kernel.
+    *
+    * Scale shape: every shuffle carries (doc_id, shingle_hash) longs —
+    * never text or shingle strings; prefix shingles are by construction
+    * the globally RAREST elements of each set, so the self-join's bucket
+    * sizes are bounded by rare-key document frequencies rather than
+    * stop-shingle frequencies (the failure mode of a naive inverted-index
+    * join), and the length filter n_b ∈ [t·n_a, n_a/t] prunes before the
+    * pair-dedup. The exploded shingle table is materialized once — it
+    * feeds the frequency count, the prefix window and both join sides,
+    * and Catalyst re-executes unmaterialized branches (no cross-branch
+    * CSE); ~16 B/shingle stored vs re-tokenizing the corpus three times.
+    *
+    * Output (doc_a, doc_b, jaccard), doc_a < doc_b — jaccard is
+    * |A∩B| / |A∪B| over distinct shingle sets, so the whole operator is
+    * ANSI-SQL-expressible and oracle-checked exactly (the one near-dup
+    * operator where that is possible; minhash/simhash are hash-seeded).
+    * Documents with an EMPTY shingle set (blank text) pair with nothing —
+    * a pair must share at least one shingle, matching the SQL definition.
+    */
+  def ngramJaccardNearDups(documentsIn: DataFrame, k: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val shSet = udf((t: String) => TextHash.shingleHashSet(t, k))
+    val sh = documents
+      .select(col("doc_id"), explode(shSet(col("text"))).as("sh"))
+      .localCheckpoint(true)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val order = byDoc.orderBy(col("df").asc, col("sh").asc)
+    // one exchange by doc_id serves both window functions (set size and
+    // rarity rank); ceil guarded an ulp low so FP can only LENGTHEN the
+    // prefix (extra candidates), never shorten it (lost recall)
+    val prefix = graft.core.SparkUtil.materializeOnce(
+      sh.join(dfreq, "sh")
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .withColumn("rn", row_number().over(order))
+        .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+        .select(col("sh"), col("doc_id"), col("n")))
+    val a = prefix.select(col("sh"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = prefix.select(col("sh"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    val cand = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("n_b") >= col("n_a") * threshold - 1e-9 &&
+        col("n_a") >= col("n_b") * threshold - 1e-9)
+      .select("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val texts = documents.select(col("doc_id"), col("text"))
+    cand
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard", jaccardUdf(k)(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Canonical-survivor selection after near-dup clustering: keep the
     * lowest doc_id of each connected dup-group (union by repeated min —
     * one window pass suffices for pairwise near-dup output).

@@ -95,6 +95,13 @@ object TextHash extends Serializable {
     inter.toDouble / (sa.length + sb.length - inter)
   }
 
+  /** Distinct sorted shingle-hash set of a document — the exact set whose
+    * Jaccard `jaccardShingles` computes (set size = the n used in the
+    * AllPairs prefix length; sorted so consumers can merge-count).
+    */
+  def shingleHashSet(text: String, k: Int): Array[Long] =
+    distinctSorted(shingleHashes(text, k))
+
   /** Shingle-set Jaccard similarity. */
   def jaccardShingles(a: String, b: String, k: Int): Double = {
     val sa = distinctSorted(shingleHashes(a, k))

@@ -152,6 +152,30 @@ class DedupSpec extends SparkSpec {
       s"missed exact-copy pair ($i, ${200 + i})"))
   }
 
+  test("ngram Jaccard near-dups EQUAL brute force at three thresholds " +
+      "(AllPairs prefix filter is lossless)") {
+    for (t <- Seq(0.5, 0.8, 0.95)) {
+      val got = Dedup.ngramJaccardNearDups(docsDf, k = 3, threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        j = TextHash.jaccardShingles(ta, tb, 3) if j >= t
+      } yield (ia, ib, j)).toSet
+      assert(got == brute,
+        s"threshold $t: got ${got.size} pairs, brute ${brute.size}")
+      assert(brute.nonEmpty, s"threshold $t: vacuous fixture")
+    }
+  }
+
+  test("ngram Jaccard: short docs pair on their whole-text shingle, " +
+      "blank docs pair with nothing") {
+    val d = Seq((1L, "alpha beta"), (2L, "  Alpha   BETA "), (3L, ""),
+      (4L, "   "), (5L, "alpha")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardNearDups(d, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)))
+  }
+
   test("survivors removes every non-canonical near-dup") {
     val dups = Dedup.minhashNearDups(docsDf, threshold = 0.5)
     val kept = Dedup.survivors(docsDf, dups)
