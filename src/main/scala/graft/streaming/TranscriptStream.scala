@@ -1,10 +1,25 @@
 package graft.streaming
 
 import graft.kg.Linker
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode,
+  StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
+
+/** One transcript turn (input_hint row shape). */
+case class Turn(conv_id: String, turn_idx: Int, role: String, text: String,
+  tool: String, ts: java.sql.Timestamp)
+
+/** Per-conversation sessionizer state: the currently-open session. */
+case class OpenSession(sessionId: Long, startMs: Long, endMs: Long,
+  nTurns: Long)
+
+/** A closed conversation session. `session_id` is the per-conversation
+  * ordinal (1, 2, …) — same numbering as the batch sessionizer.
+  */
+case class ConvSession(conv_id: String, session_id: Long, n_turns: Long,
+  start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
 
 /** Structured Streaming ingestion for transcript tables.
   *
@@ -25,10 +40,11 @@ object TranscriptStream {
     StructField("role", StringType), StructField("text", StringType),
     StructField("tool", StringType), StructField("ts", TimestampType)))
 
-  def readTranscriptStream(spark: SparkSession, inputDir: String): DataFrame =
+  def readTranscriptStream(spark: SparkSession, inputDir: String,
+      maxFilesPerTrigger: Int = 4): DataFrame =
     spark.readStream
       .schema(transcriptSchema)
-      .option("maxFilesPerTrigger", "4")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(inputDir)
 
   /** Watermarked per-window, per-role turn statistics. */
@@ -55,6 +71,80 @@ object TranscriptStream {
       .withColumn("fingerprint",
         md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Declarative streaming sessionization: Spark's built-in
+    * `session_window` merges event-time sessions (gap-based) inside the
+    * state store with watermark-bounded state — the scale path for
+    * session AGGREGATES, preferred whenever the output needs no
+    * cross-session ordering.
+    */
+  def sessionStats(stream: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("conv_id"))
+      .agg(count(lit(1)).as("n_turns"))
+
+  /** Stateful streaming sessionizer via `flatMapGroupsWithState` — the
+    * custom-state arm `session_window` cannot express: sessions carry a
+    * per-conversation ORDINAL (1, 2, …), the numbering the batch
+    * sessionizer (q_sessionize) assigns, which requires remembering how
+    * many sessions a conversation has closed — cross-session state, not
+    * per-session aggregation.
+    *
+    * Semantics: a turn more than `gapMs` of event time after the open
+    * session's last turn closes it (emitted immediately, in-data gap);
+    * the final open session of a conversation closes when the WATERMARK
+    * passes its end + gap (event-time timeout — no new data needed).
+    * State per conversation is one `OpenSession` (4 longs), removed on
+    * timeout: bounded by the number of conversations active within the
+    * watermark horizon, the property that keeps it runnable forever.
+    * Turns are sorted (ts, turn_idx) within each micro-batch; late data
+    * beyond the watermark is dropped by the engine upstream.
+    */
+  def sessionizeStateful(stream: DataFrame, gapMs: Long = 1800000L,
+      watermark: String = "2 hours"): Dataset[ConvSession] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.withWatermark("ts", watermark).as[Turn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[OpenSession, ConvSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (conv, turns, state) =>
+          def closed(s: OpenSession) = ConvSession(conv, s.sessionId,
+            s.nTurns, new java.sql.Timestamp(s.startMs),
+            new java.sql.Timestamp(s.endMs))
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(closed).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = turns.toArray.sortBy(t => (t.ts.getTime, t.turn_idx))
+            val out = Seq.newBuilder[ConvSession]
+            var open = state.getOption
+            sorted.foreach { t =>
+              val ms = t.ts.getTime
+              open = open match {
+                case Some(s) if ms - s.endMs > gapMs =>
+                  out += closed(s)
+                  Some(OpenSession(s.sessionId + 1, ms, ms, 1L))
+                case Some(s) =>
+                  Some(s.copy(endMs = math.max(s.endMs, ms),
+                    nTurns = s.nTurns + 1))
+                case None => Some(OpenSession(1L, ms, ms, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout must sit at or past the watermark; a late batch
+              // whose session already trails it times out on the next one
+              state.setTimeoutTimestamp(
+                math.max(s.endMs + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
 
   /** Incremental linking: each micro-batch runs mention detection + exact
     * dictionary linking and appends SSSOM rows partitioned by subject-hash

@@ -31,6 +31,7 @@ object Drive {
 
   def main(args: Array[String]): Unit = {
     if (sys.env.contains("DRIVE_SMOKE")) { smoke(); return }
+    if (sys.env.contains("DRIVE_STREAM")) { streamCheck(); return }
     if (sys.env.contains("DRIVE_SIMHASH")) { simhashCheck(); return }
     if (sys.env.contains("DRIVE_RECONCILE")) { reconcileCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
@@ -148,6 +149,39 @@ object Drive {
   }
 
   /** End-to-end smoke over the public API surfaces changed this round. */
+  /** End-to-end drive of the streaming sessionizers: synthetic transcript
+    * file drops → flatMapGroupsWithState ordinals + session_window stats
+    * → memory sink; prints both result sets.
+    */
+  def streamCheck(): Unit = {
+    import graft.streaming.TranscriptStream
+    import org.apache.spark.sql.streaming.Trigger
+    val s = session(4)
+    val base = java.nio.file.Files.createTempDirectory("drivestream").toString
+    val in = s"$base/in"
+    graft.kg.Synthetic.transcripts(s, 40, 6, 30)
+      .write.mode("append").parquet(in)
+    val stateful = TranscriptStream.sessionizeStateful(
+      TranscriptStream.readTranscriptStream(s, in), gapMs = 1800000L,
+      watermark = "10 minutes")
+    val q1 = stateful.writeStream.format("memory").queryName("ds_stateful")
+      .outputMode("append").option("checkpointLocation", s"$base/cp1")
+      .trigger(Trigger.AvailableNow()).start()
+    q1.awaitTermination(120000)
+    val w = TranscriptStream.sessionStats(
+      TranscriptStream.readTranscriptStream(s, in), watermark = "10 minutes")
+    val q2 = w.writeStream.format("memory").queryName("ds_window")
+      .outputMode("append").option("checkpointLocation", s"$base/cp2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val a = s.sql("SELECT conv_id, session_id, n_turns FROM ds_stateful")
+    val b = s.sql("SELECT conv_id, n_turns FROM ds_window")
+    println(s"stateful sessions=${a.count()} window sessions=${b.count()}")
+    a.show(10, truncate = false)
+    b.show(10, truncate = false)
+    s.stop()
+  }
+
   def smoke(): Unit = {
     val s = session(4)
     def fixture(n: String) = getClass.getResource(s"/sssom/$n").getPath

@@ -53,6 +53,70 @@ class TranscriptStreamSpec extends SparkSpec {
     assert(rows.select("fingerprint").distinct().count() == rows.count())
   }
 
+  // three single-file drops = three deterministic micro-batches at
+  // maxFilesPerTrigger = 1; 30-min session gap, 10-min watermark.
+  //   batch1: c1@0:00, c1@0:10, c2@0:05          (opens c1 s1, c2 s1)
+  //   batch2: c1@3:00 (in-data gap closes c1 s1), c3@5:00 (drives the
+  //           watermark to 4:50 at batch end)
+  //   batch3: c4@6:00 — timeout pass runs against watermark 4:50, so
+  //           c2 s1 (due 0:35) and c1 s2 (due 3:30) close
+  //   final no-data batch (noDataMicroBatches, on by default): the
+  //           watermark settles at 5:50 and closes c3 s1 (due 5:30);
+  //           c4 s1 (due 6:30) stays open and is never emitted
+  private def sessionFixture(in: String): Unit = {
+    import spark.implicits._
+    val h = 3600000L; val m = 60000L
+    def t(ms: Long) = new java.sql.Timestamp(1704067200000L + ms)
+    def drop(rows: (String, Int, Long)*): Unit =
+      rows.toSeq.map { case (c, i, ms) => (c, i, "user", s"text $c $i", "", t(ms)) }
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .coalesce(1).write.mode("append").parquet(in)
+    drop(("c1", 0, 0L), ("c1", 1, 10 * m), ("c2", 0, 5 * m))
+    drop(("c1", 2, 3 * h), ("c3", 0, 5 * h))
+    drop(("c4", 0, 6 * h))
+  }
+
+  test("stateful sessionizer: per-conversation ordinals, in-data gaps " +
+      "close immediately, trailing sessions close by event-time timeout") {
+    val base = java.nio.file.Files.createTempDirectory("stream4").toString
+    val in = s"$base/in"
+    sessionFixture(in)
+    val sessions = TranscriptStream.sessionizeStateful(
+      TranscriptStream.readTranscriptStream(spark, in, maxFilesPerTrigger = 1),
+      gapMs = 1800000L, watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_stateful")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT conv_id, session_id, n_turns FROM sess_stateful")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("c1", 1L, 2L), ("c2", 1L, 1L), ("c1", 2L, 1L),
+      ("c3", 1L, 1L)), s"got $got")
+  }
+
+  test("session_window stats close the same sessions declaratively") {
+    val base = java.nio.file.Files.createTempDirectory("stream5").toString
+    val in = s"$base/in"
+    sessionFixture(in)
+    val stats = TranscriptStream.sessionStats(
+      TranscriptStream.readTranscriptStream(spark, in, maxFilesPerTrigger = 1),
+      gap = "30 minutes", watermark = "10 minutes")
+    val q = stats.writeStream.format("memory").queryName("sess_window")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT conv_id, n_turns FROM sess_window")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // same four closed sessions as the stateful arm (no ordinals here —
+    // that is exactly what session_window cannot express)
+    assert(got == Seq(("c1", 1L), ("c1", 2L), ("c2", 1L), ("c3", 1L)),
+      s"got $got")
+  }
+
   test("windowed turn stats carry watermarked event-time windows") {
     val base = java.nio.file.Files.createTempDirectory("stream2").toString
     val in = s"$base/in"
