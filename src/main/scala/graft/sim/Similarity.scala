@@ -132,8 +132,8 @@ object Similarity {
     * centroids ≈ 8 MB at dim 64).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
-      nlist: Int = -1, nprobe: Int = 4): DataFrame = {
-    val cands = ivfCandidates(corpus, queries, nlist, nprobe)
+      nlist: Int = -1, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
+    val cands = ivfCandidates(corpus, queries, nlist, nprobe, refineIters)
       .withColumn("cos", cosine(col("corpus_vec"), col("query_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
@@ -146,18 +146,21 @@ object Similarity {
     * the candidate-volume scaling test).
     */
   private[graft] def ivfCandidates(corpus: DataFrame, queries: DataFrame,
-      nlist: Int, nprobe: Int): DataFrame = {
+      nlist: Int, nprobe: Int, refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val n = corpus.count()
     val lists =
       if (nlist > 0) nlist
       else math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
-    val centroids: Array[Array[Float]] = corpus
+    val seeds: Array[Array[Float]] = corpus
       .select(col("vec_id"), col("embedding"))
       .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
       .limit(lists)
       .collect()
       .map(r => r.getSeq[Float](1).toArray)
+    val centroids =
+      if (refineIters > 0) refineCentroids(corpus, seeds, refineIters)
+      else seeds
     val bc = spark.sparkContext.broadcast(centroids)
     val cell1 = udf((v: Seq[Float]) =>
       TextHash.nearestCentroids(v, bc.value, 1).head)
@@ -172,6 +175,57 @@ object Similarity {
     c.join(q, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .drop("cell")
+  }
+
+  /** Spherical Lloyd refinement of the IVF coarse quantizer (the standard
+    * trained-IVF design, e.g. the published FAISS IVF family and
+    * spherical k-means): assign every corpus vector to its nearest seed
+    * by cosine, recompute each cell's mean vector, repeat. Raises recall
+    * on clustered corpora where hash-sampled seeds land unevenly; the
+    * training-free seeds remain the default (refineIters = 0) because a
+    * weakly-clustered corpus gains little for the extra passes.
+    *
+    * Deterministic at any parallelism: assignment ties break on centroid
+    * index, per-cell sums run in vec_id order, and an empty cell keeps
+    * its previous centroid. Each iteration is ONE shuffle of
+    * (cell, vector) rows — grouping by cell, never all-pairs — and the
+    * collected centroid table stays driver-sized (nlist ≈ √n). Cosine is
+    * scale-invariant, so the un-normalized cell mean acts as the
+    * spherical mean direction.
+    */
+  private[graft] def refineCentroids(corpus: DataFrame,
+      seeds: Array[Array[Float]], iters: Int): Array[Array[Float]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = seeds
+    (0 until iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val assign = udf((v: Seq[Float]) =>
+        TextHash.nearestCentroids(v, bc.value, 1).head)
+      val means = graft.core.SparkUtil.spread(corpus)
+        .select(col("vec_id"), assign(col("embedding")).as("cell"),
+          col("embedding"))
+        .as[(Long, Int, Array[Float])]
+        .groupByKey(_._2)
+        .mapGroups { (cell, it) =>
+          val rows = it.toArray.sortBy(_._1)
+          val dim = rows.head._3.length
+          val sum = new Array[Double](dim)
+          rows.foreach { r =>
+            val v = r._3
+            var d = 0; while (d < dim) { sum(d) += v(d); d += 1 }
+          }
+          val mean = new Array[Float](dim)
+          var d = 0
+          while (d < dim) { mean(d) = (sum(d) / rows.length).toFloat; d += 1 }
+          (cell, mean)
+        }
+        .collect()
+      val next = cents.clone()
+      means.foreach { case (cell, mean) => next(cell) = mean }
+      cents = next
+    }
+    cents
   }
 
   /** Distinct (query, corpus) candidate pairs sharing a table signature,

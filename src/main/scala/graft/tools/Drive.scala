@@ -32,6 +32,7 @@ object Drive {
   def main(args: Array[String]): Unit = {
     if (sys.env.contains("DRIVE_SMOKE")) { smoke(); return }
     if (sys.env.contains("DRIVE_STREAM")) { streamCheck(); return }
+    if (sys.env.contains("DRIVE_IVF")) { ivfCheck(); return }
     if (sys.env.contains("DRIVE_SIMHASH")) { simhashCheck(); return }
     if (sys.env.contains("DRIVE_RECONCILE")) { reconcileCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
@@ -179,6 +180,32 @@ object Drive {
     println(s"stateful sessions=${a.count()} window sessions=${b.count()}")
     a.show(10, truncate = false)
     b.show(10, truncate = false)
+    s.stop()
+  }
+
+  /** IVF refinement drive: recall at nprobe=1 on the testdata embeddings
+    * with and without Lloyd iterations, plus per-iteration timing.
+    */
+  def ivfCheck(): Unit = {
+    import graft.sim.Similarity
+    import org.apache.spark.sql.functions.col
+    val s = session(8)
+    val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.01")
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(0, 2).foreach { iters =>
+      val t0 = System.nanoTime()
+      val ann = Similarity.ivfTopK(emb, queries, k = 10, nprobe = 8,
+        refineIters = iters)
+        .select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (ann & brute).size.toDouble / brute.size
+      println(f"refineIters=$iters recall=$recall%.3f " +
+        f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
     s.stop()
   }
 

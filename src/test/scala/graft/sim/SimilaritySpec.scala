@@ -121,6 +121,38 @@ class SimilaritySpec extends SparkSpec {
       s"IVF candidates grew $candSmall -> $candLarge on a 16x corpus")
   }
 
+  test("IVF Lloyd refinement: deterministic, strictly improves the " +
+      "quantizer, and never hurts recall") {
+    // adversarial seeds: all four from cluster 0 — the worst case a
+    // hash-sampled seed draw can produce at nlist = 4
+    val seeds = Array(0, 4, 8, 12).map(i => vecs(i)._2)
+    val r1 = Similarity.refineCentroids(emb, seeds, 3)
+    val r2 = Similarity.refineCentroids(emb, seeds, 3)
+    assert(r1.map(_.toSeq).toSeq == r2.map(_.toSeq).toSeq,
+      "refinement not deterministic")
+    // quantization objective: mean cosine of each vector to its centroid
+    def obj(cents: Array[Array[Float]]): Double =
+      vecs.map { case (_, v) =>
+        val c = cents(TextHash.nearestCentroids(v.toSeq, cents, 1).head)
+        TextHash.cosine(v.toSeq, c.toSeq)
+      }.sum / vecs.size
+    assert(obj(r1) > obj(seeds) + 1e-6,
+      s"objective ${obj(seeds)} -> ${obj(r1)} did not improve")
+
+    val queries = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    def recall(refine: Int): Double = {
+      val ann = Similarity.ivfTopK(emb, queries, k = 5, nlist = 4,
+        nprobe = 1, refineIters = refine)
+        .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+      (ann & brute).size.toDouble / brute.size
+    }
+    val (r0, r3) = (recall(0), recall(3))
+    assert(r3 >= r0, s"refinement hurt recall: $r0 -> $r3")
+    assert(r3 >= 0.9, s"refined nprobe=1 recall $r3 < 0.9 on clustered data")
+  }
+
   test("cosine kernel: unit self-similarity, zero-vector guard") {
     val v = Seq(1.0f, 2.0f, 3.0f)
     assert(math.abs(TextHash.cosine(v, v) - 1.0) < 1e-12)
