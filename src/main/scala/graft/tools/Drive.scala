@@ -33,6 +33,7 @@ object Drive {
     if (sys.env.contains("DRIVE_SMOKE")) { smoke(); return }
     if (sys.env.contains("DRIVE_STREAM")) { streamCheck(); return }
     if (sys.env.contains("DRIVE_IVF")) { ivfCheck(); return }
+    if (sys.env.contains("DRIVE_NGRAM")) { ngramCheck(); return }
     if (sys.env.contains("DRIVE_SIMHASH")) { simhashCheck(); return }
     if (sys.env.contains("DRIVE_RECONCILE")) { reconcileCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
@@ -206,6 +207,59 @@ object Drive {
       println(f"refineIters=$iters recall=$recall%.3f " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
+    s.stop()
+  }
+
+  /** Stage-cost diagnosis of the n-gram Jaccard join at sf0.1. */
+  def ngramCheck(): Unit = {
+    import graft.text.TextHash
+    import org.apache.spark.sql.functions._
+    val s = session(32)
+    val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
+    val docs = graft.core.SparkUtil.spread(
+      s.read.parquet(s"$dir/documents.parquet"))
+    var t0 = System.nanoTime()
+    def lap(name: String): Unit = {
+      println(f"  $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
+    println(s"  docs=${docs.count()}")
+    lap("docs count")
+    val shSet = udf((t: String) => TextHash.shingleHashSet(t, 3))
+    val shPlain = docs.select(col("doc_id"), explode(shSet(col("text"))).as("sh"))
+    println(s"  sh rows=${shPlain.count()}")
+    lap("shingle explode count (no ckpt)")
+    println(s"  sh rows again=${shPlain.count()}")
+    lap("shingle explode count (warm)")
+    val sh = shPlain.localCheckpoint(true)
+    lap("eager localCheckpoint")
+    println(s"  distinct=${sh.select("sh").distinct().count()}")
+    lap("distinct count from ckpt")
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id")
+    val ord = byDoc.orderBy(col("df").asc, col("sh").asc)
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") <= col("n") - ceil(col("n") * 0.5 - 1e-9) + 1)
+      .select(col("sh"), col("doc_id"), col("n"))
+      .localCheckpoint(true)
+    println(s"  prefix rows=${prefix.count()}")
+    lap("df+window+prefix")
+    val a = prefix.select(col("sh"), col("doc_id").as("doc_a"), col("n").as("n_a"))
+    val b = prefix.select(col("sh"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+    val raw = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b") &&
+      col("n_b") >= col("n_a") * 0.5 - 1e-9 &&
+      col("n_a") >= col("n_b") * 0.5 - 1e-9)
+    println(s"  raw candidate rows=${raw.count()}")
+    lap("prefix self-join")
+    val cand = raw.select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    println(s"  distinct candidates=${cand.count()}")
+    lap("pair dedup")
+    val full = graft.dedup.Dedup.ngramJaccardNearDups(docs, 3, 0.5)
+    println(s"  final pairs=${full.count()}")
+    lap("full operator end-to-end")
     s.stop()
   }
 
