@@ -15,19 +15,25 @@ import org.apache.spark.sql.functions._
   *    buckets, exact cosine re-rank inside buckets. At 100 TB the bucket
   *    join shuffles only colliding candidates, not the cross product.
   *
-  * Dot products run in a JIT'd Scala UDF kernel (graft.text.TextHash):
-  * for pure-arithmetic inner loops a tight JVM loop measured ~100× faster
-  * than Catalyst's interpreted higher-order functions (`zip_with` +
-  * `aggregate`), and the surrounding plan stays declarative.
+  * Dot products run in a native Catalyst expression
+  * (graft.functions.CosineSimilarity): its `doGenCode` splices one static
+  * kernel call into whole-stage codegen and reads `ArrayData` in place —
+  * no UDF bridge, no per-element boxing, no codegen boundary. (A tight
+  * JVM loop had already measured ~100× faster than Catalyst's
+  * interpreted higher-order functions, `zip_with` + `aggregate`; the
+  * native expression removes the remaining ScalaUDF conversion cost.)
+  * Results are bit-identical to the old UDF kernel, so the DuckDB
+  * oracles hash-compare unchanged.
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns (JIT'd Scala kernel —
-    * see graft.text.TextHash; the dot product is the work).
+  /** Cosine similarity of two float-array columns (native codegen'd
+    * expression — see graft.functions.CosineSimilarity).
     */
   def cosine(a: Column, b: Column): Column = {
-    val f = udf((x: Seq[Float], y: Seq[Float]) => TextHash.cosine(x, y))
-    f(a, b)
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.CosineSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 
   /** Brute-force cosine top-k: for each query vector (small set,

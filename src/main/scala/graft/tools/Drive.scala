@@ -34,6 +34,7 @@ object Drive {
     if (sys.env.contains("DRIVE_STREAM")) { streamCheck(); return }
     if (sys.env.contains("DRIVE_IVF")) { ivfCheck(); return }
     if (sys.env.contains("DRIVE_NGRAM")) { ngramCheck(); return }
+    if (sys.env.contains("DRIVE_EXPR")) { exprCheck(); return }
     if (sys.env.contains("DRIVE_SIMHASH")) { simhashCheck(); return }
     if (sys.env.contains("DRIVE_RECONCILE")) { reconcileCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
@@ -207,6 +208,36 @@ object Drive {
       println(f"refineIters=$iters recall=$recall%.3f " +
         f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
+    s.stop()
+  }
+
+  /** A/B microbench: ScalaUDF cosine kernel vs the native codegen'd
+    * CosineSimilarity expression on 2M dim-64 pairs.
+    */
+  def exprCheck(): Unit = {
+    import graft.text.TextHash
+    import org.apache.spark.sql.functions._
+    val s = session(8)
+    import s.implicits._
+    val n = 2000000L
+    val gen = udf((i: Long) => Array.tabulate(64)(d =>
+      ((TextHash.mix(i, d.toLong) % 2001) - 1000) / 1000.0f))
+    val df = s.range(n)
+      .select(col("id"), gen(col("id")).as("a"), gen(col("id") + 7).as("b"))
+      .localCheckpoint(true)
+    val udfCos = udf((x: Seq[Float], y: Seq[Float]) => TextHash.cosine(x, y))
+    def time(name: String, c: org.apache.spark.sql.Column): Double = {
+      val r = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        df.select(sum(c)).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"  $name min=${r.min}%.2f all=[${r.map(t => f"$t%.2f").mkString(",")}]")
+      r.min
+    }
+    val u = time("scala-udf ", udfCos(col("a"), col("b")))
+    val e = time("native    ", graft.sim.Similarity.cosine(col("a"), col("b")))
+    println(f"  speedup=${u / e}%.2fx")
     s.stop()
   }
 

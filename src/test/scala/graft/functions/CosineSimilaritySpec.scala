@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.text.TextHash
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(seed: Long, dim: Int): Array[Float] =
+    Array.tabulate(dim)(d =>
+      ((TextHash.mix(seed, d.toLong) % 2001) - 1000) / 1000.0f)
+
+  test("native expression is bit-identical to the UDF kernel, including " +
+      "edge shapes") {
+    val pairs: Seq[(Array[Float], Array[Float])] =
+      (0L until 50L).map(i => (vec(i, 16), vec(i + 1000, 16))) ++ Seq(
+        (vec(1, 16), vec(2, 8)),          // unequal lengths: min-zip
+        (Array.fill(4)(0.0f), vec(3, 4)), // zero norm -> 0.0
+        (Array.empty[Float], vec(4, 4)),  // empty -> 0.0
+        (vec(5, 16), vec(5, 16)))         // self-similarity ~ 1.0
+    val df = pairs.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.sim.Similarity.cosine(col("a"), col("b")).as("cos"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      val expect = TextHash.cosine(a.toSeq, b.toSeq)
+      assert(got(i) == expect, s"pair $i: ${got(i)} != $expect (bit-exact)")
+    }
+  }
+
+  test("expression runs inside whole-stage codegen (no UDF boundary)") {
+    // repartition defeats ConvertToLocalRelation, which would otherwise
+    // constant-fold the projection via eval() and hide the codegen path
+    val df = (0L until 100L).map(i => (i, vec(i, 16), vec(i + 7, 16)))
+      .toDF("id", "a", "b").repartition(2)
+      .select(graft.sim.Similarity.cosine(col("a"), col("b")).as("cos"))
+    assert(df.collect().length == 100)
+    // AQE prints codegen spans only in the finalized plan — read it
+    // after execution
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen span in the compact form
+    assert(plan.contains("*(1) Project [graft_cosine"), plan.take(600))
+    assert(!plan.contains("ScalaUDF"), "native path must not fall back to UDF")
+  }
+
+  test("GraftExtensions registers graft_cosine for SQL users") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                    array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))
+        |""".stripMargin).collect().head.getDouble(0)
+    assert(r == 1.0)
+    // double arrays implicit-cast to float arrays (ImplicitCastInputTypes)
+    val r2 = spark.sql("SELECT graft_cosine(array(1.0, 0.0), array(0.0, 1.0))")
+      .collect().head.getDouble(0)
+    assert(r2 == 0.0)
+  }
+}
