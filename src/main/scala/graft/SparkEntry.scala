@@ -206,11 +206,15 @@ object SparkEntry {
         TextOps.langId(col("text")).as("lang_pred"))),
 
     // ---- embeddings (similarity search) ----
+    // native L2Norm expression (codegen'd, ArrayData in place) — replaces
+    // the interpreted aggregate/transform higher-order form; same f64
+    // accumulation order, so the oracle hash-compares unchanged
     "q_embed_norm" -> ((s, dir) =>
       t(s, dir, "embeddings").select(col("vec_id"),
-        round(sqrt(aggregate(
-          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-          lit(0.0), (acc, v) => acc + v)), 3).as("l2_norm"))),
+        round(org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.L2Norm(
+            org.apache.spark.sql.GraftColumnBridge.expression(
+              col("embedding")))), 3).as("l2_norm"))),
 
     "q_embed_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")

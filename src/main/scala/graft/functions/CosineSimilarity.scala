@@ -15,6 +15,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * loop touches the columnar bytes with zero copies and zero allocation.
   */
 object ArrayKernels {
+  /** Sequential-f64 L2 norm (null elements count as 0) — bit-identical
+    * to the `aggregate`/`transform` higher-order form it replaces and to
+    * DuckDB's `list_sum(list_transform(...))` oracle.
+    */
+  def l2NormF(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = (if (a.isNullAt(i)) 0.0f else a.getFloat(i)).toDouble
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   /** Sequential-f64 cosine, bit-identical to `TextHash.cosine` (same
     * accumulation order, same `dot / (√na · √nb)` form, min-length zip,
     * zero-norm → 0.0) and therefore to DuckDB's
@@ -68,14 +84,39 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native L2 norm of an `Array[Float]` column — same design as
+  * `CosineSimilarity` (static kernel call inside whole-stage codegen,
+  * `ArrayData` read in place), replacing the interpreted
+  * `aggregate`/`transform` higher-order form on the embedding-norm path.
+  */
+case class L2Norm(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2_norm"
+
+  override def nullSafeEval(a: Any): Any =
+    ArrayKernels.l2NormF(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.ArrayKernels.l2NormF($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session-extension entry point (`spark.sql.extensions=
   * graft.functions.GraftExtensions` on spark-submit) registering the
   * native functions for SQL users; `GraftExtensions.register` installs
   * the same builders on an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftExtensions.cosineFunction)
+    e.injectFunction(GraftExtensions.l2NormFunction)
+  }
 }
 
 object GraftExtensions {
@@ -90,8 +131,18 @@ object GraftExtensions {
         CosineSimilarity(args.head, args(1))
       })
 
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = cosineFunction
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  val l2NormFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_l2_norm"),
+      new ExpressionInfo(classOf[L2Norm].getCanonicalName, "graft_l2_norm"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"graft_l2_norm expects 1 argument, got ${args.length}")
+        L2Norm(args.head)
+      })
+
+  def register(spark: SparkSession): Unit =
+    Seq(cosineFunction, l2NormFunction).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -45,6 +45,26 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), "native path must not fall back to UDF")
   }
 
+  test("L2Norm native expression matches the interpreted HOF form " +
+      "bit-exactly") {
+    val rows = (0L until 50L).map(i => (i, vec(i, 16))) ++
+      Seq((100L, Array.empty[Float]), (101L, Array.fill(4)(0.0f)))
+    val df = rows.toDF("id", "v").repartition(2)
+    val native = df.select(col("id"),
+        org.apache.spark.sql.GraftColumnBridge.column(
+          L2Norm(org.apache.spark.sql.GraftColumnBridge.expression(col("v"))))
+          .as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hof = df.select(col("id"),
+        sqrt(aggregate(
+          transform(col("v"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, _) =>
+      assert(native(id) == hof(id), s"id $id: ${native(id)} != ${hof(id)}")
+    }
+  }
+
   test("GraftExtensions registers graft_cosine for SQL users") {
     GraftExtensions.register(spark)
     val r = spark.sql(
@@ -56,5 +76,8 @@ class CosineSimilaritySpec extends SparkSpec {
     val r2 = spark.sql("SELECT graft_cosine(array(1.0, 0.0), array(0.0, 1.0))")
       .collect().head.getDouble(0)
     assert(r2 == 0.0)
+    val r3 = spark.sql("SELECT graft_l2_norm(array(3.0, 4.0))")
+      .collect().head.getDouble(0)
+    assert(r3 == 5.0)
   }
 }
