@@ -239,6 +239,20 @@ object Drive {
     val e = time("native    ", graft.sim.Similarity.cosine(col("a"), col("b")))
     println(f"  speedup=${u / e}%.2fx")
     s.stop()
+    // extensions path end-to-end: a session BUILT with GraftExtensions
+    // (the spark.sql.extensions route) must resolve graft_* in SQL
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .appName("drive-ext")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s2.sparkContext.setLogLevel("ERROR")
+    val viaExt = s2.sql(
+      "SELECT graft_cosine(array(1.0, 0.0), array(1.0, 0.0)), " +
+      "graft_l2_norm(array(3.0, 4.0))").collect().head
+    println(s"  extensions-injected: cosine=${viaExt.getDouble(0)} " +
+      s"l2=${viaExt.getDouble(1)}")
+    s2.stop()
   }
 
   /** Stage-cost diagnosis of the n-gram Jaccard join at sf0.1. */
