@@ -269,6 +269,12 @@ object SparkEntry {
       Dedup.ngramJaccardNearDups(t(s, dir, "documents"), k = 3,
         threshold = 0.5)),
 
+    // repeated-span detection (substring-dedup primitive): word-10-gram
+    // spans occurring in ≥ 2 distinct documents, exact counts — the
+    // string-group oracle arm; hashOnly = true is the 8-byte-key scale arm
+    "q_doc_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), k = 10, minDocs = 2)),
+
     "q_doc_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 8)),
 
@@ -466,6 +472,21 @@ object SparkEntry {
         |   + CAST((length(t) - length(replace(t, ' y ', ''))) / 3 AS BIGINT)
         |   + CAST((length(t) - length(replace(t, ' es ', ''))) / 4 AS BIGINT) AS es
         | FROM (SELECT doc_id, concat(' ', lower(text), ' ') AS t FROM documents))""".stripMargin,
+
+    // repeated spans WITH positions (no distinct, no short-doc fallback):
+    // same tokenizer as the Spark arm; counts exact
+    "q_doc_dup_spans" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |s0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(1, len(w) - 9)) AS i
+        | FROM d WHERE len(w) >= 10),
+        |sp AS (SELECT doc_id, array_to_string(w[i:i + 9], ' ') AS span
+        | FROM s0)
+        |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | count(*) AS n_occurrences
+        |FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
 
     // exact shingle-set Jaccard pairs: string shingles here are bijective
     // with the engine's chained-FNV shingle hashes (tokens contain no

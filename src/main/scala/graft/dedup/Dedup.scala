@@ -378,6 +378,54 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Repeated-span detection — the substring-level dedup primitive from
+    * the published training-data literature (suffix-array substring dedup,
+    * e.g. Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL'22), re-expressed for Spark: every word-k-gram span
+    * (with positions — NOT the distinct shingle set) that occurs in at
+    * least `minDocs` distinct documents, with its document and occurrence
+    * counts. Downstream pipelines cut or down-weight the flagged spans.
+    *
+    * Two arms:
+    *  - `hashOnly = false` (default, the oracle arm): group by the span
+    *    STRING — ANSI-SQL-expressible, so the driver's DuckDB oracle
+    *    checks it exactly; the shuffle carries ~k tokens per position,
+    *    the honest cost the suffix-array literature exists to avoid on
+    *    one node.
+    *  - `hashOnly = true` (the 100 TB arm): group by `xxhash64(span)` —
+    *    8-byte shuffle keys instead of ×k text amplification, plus a
+    *    `min(span)` exemplar per group; counts are exact modulo 64-bit
+    *    hash collisions.
+    *
+    * Documents with fewer than k tokens contribute no spans (substring
+    * dedup wants full-length spans only — unlike `shingles`, which falls
+    * back to the whole-text shingle for short docs).
+    */
+  def duplicateSpans(documentsIn: DataFrame, k: Int = 10, minDocs: Int = 2,
+      hashOnly: Boolean = false): DataFrame = {
+    require(k >= 1 && minDocs >= 2,
+      s"need k >= 1 and minDocs >= 2, got k=$k minDocs=$minDocs")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val toks = split(norm(col("text")), " ")
+    val spans = transform(sequence(lit(1), size(toks) - (k - 1)),
+      i => array_join(slice(toks, i, lit(k)), " "))
+    val sp = documents
+      .filter(size(toks) >= k)
+      .select(col("doc_id"), explode(spans).as("span"))
+    if (hashOnly)
+      sp.groupBy(xxhash64(col("span")).as("span_hash"))
+        .agg(min("span").as("span"),
+          countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= minDocs)
+        .select("span", "n_docs", "n_occurrences")
+    else
+      sp.groupBy("span")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= minDocs)
+  }
+
   /** Canonical-survivor selection after near-dup clustering: keep the
     * lowest doc_id of each connected dup-group (union by repeated min —
     * one window pass suffices for pairwise near-dup output).

@@ -176,6 +176,43 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0)))
   }
 
+  test("duplicate spans EQUAL brute force; hash arm agrees; short docs " +
+      "contribute nothing") {
+    val boiler =
+      "please read these terms and conditions very carefully before you proceed further"
+    val d = Seq(
+      (1L, s"intro one $boiler outro alpha beta gamma delta"),
+      (2L, s"different lead-in text here $boiler and a tail"),
+      (3L, s"third document also contains $boiler somewhere inside it"),
+      (4L, "a unique document with no repeated ten gram span at all kappa"),
+      (5L, "short doc")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(d, k = 10, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force locally: every positional 10-gram per doc
+    val local = Seq(
+      1L -> s"intro one $boiler outro alpha beta gamma delta",
+      2L -> s"different lead-in text here $boiler and a tail",
+      3L -> s"third document also contains $boiler somewhere inside it",
+      4L -> "a unique document with no repeated ten gram span at all kappa",
+      5L -> "short doc")
+    val spans = local.flatMap { case (id, t) =>
+      val w = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (w.length < 10) Seq.empty
+      else (0 to w.length - 10).map(i => (id, w.slice(i, i + 10).mkString(" ")))
+    }
+    val brute = spans.groupBy(_._2).collect {
+      case (span, occ) if occ.map(_._1).distinct.size >= 2 =>
+        (span, occ.map(_._1).distinct.size.toLong, occ.size.toLong)
+    }.toSet
+    assert(got == brute, s"got ${got.size} vs brute ${brute.size}")
+    assert(got.exists(_._1.contains("terms and conditions")), s"got $got")
+    assert(got.forall(_._2 >= 2))
+    // the 8-byte-key scale arm reports the same spans and counts
+    val hashed = Dedup.duplicateSpans(d, k = 10, minDocs = 2, hashOnly = true)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashed == brute)
+  }
+
   test("survivors removes every non-canonical near-dup") {
     val dups = Dedup.minhashNearDups(docsDf, threshold = 0.5)
     val kept = Dedup.survivors(docsDf, dups)
