@@ -275,6 +275,11 @@ object SparkEntry {
     "q_doc_dup_spans" -> ((s, dir) =>
       Dedup.duplicateSpans(t(s, dir, "documents"), k = 10, minDocs = 2)),
 
+    // per-document duplication coverage: fraction of token positions
+    // inside ≥1 repeated span — the drop/down-weight decision signal
+    "q_doc_span_coverage" -> ((s, dir) =>
+      Dedup.spanCoverage(t(s, dir, "documents"), k = 10, minDocs = 2)),
+
     "q_doc_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 8)),
 
@@ -487,6 +492,29 @@ object SparkEntry {
         |SELECT span, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         | count(*) AS n_occurrences
         |FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+
+    // coverage = |distinct positions under a repeated span| / n_tokens,
+    // an exact integer ratio; every document appears (0.0 when clean)
+    "q_doc_span_coverage" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |s0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(1, len(w) - 9)) AS i
+        | FROM d WHERE len(w) >= 10),
+        |sp AS (SELECT doc_id, i, array_to_string(w[i:i + 9], ' ') AS span
+        | FROM s0),
+        |dup AS (SELECT span FROM sp GROUP BY 1
+        | HAVING count(DISTINCT doc_id) >= 2),
+        |pos AS (SELECT sp.doc_id, unnest(generate_series(sp.i, sp.i + 9)) AS p
+        | FROM sp JOIN dup USING (span)),
+        |cov AS (SELECT doc_id, count(DISTINCT p) AS covered FROM pos GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+        | CASE WHEN len(d.w) = 0 THEN 0.0
+        |  ELSE CAST(coalesce(cov.covered, 0) AS DOUBLE) / len(d.w)
+        |  END AS coverage
+        |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id""".stripMargin,
 
     // exact shingle-set Jaccard pairs: string shingles here are bijective
     // with the engine's chained-FNV shingle hashes (tokens contain no

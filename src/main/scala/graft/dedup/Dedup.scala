@@ -426,6 +426,58 @@ object Dedup {
         .filter(col("n_docs") >= minDocs)
   }
 
+  /** Per-document duplication coverage — the decision signal built on
+    * `duplicateSpans`: for every document, the fraction of its token
+    * positions covered by at least one repeated span (a span occurring in
+    * ≥ `minDocs` distinct documents). Pipelines drop or down-weight
+    * documents above a coverage threshold; boilerplate-heavy documents
+    * score near 1.0, unique text scores 0.
+    *
+    * One positional-span table feeds both the repeated-span aggregation
+    * and the coverage join (materialized once — no-CSE rule); position
+    * coverage is the distinct-count of exploded span offsets, an exact
+    * interval union. Output (doc_id, n_tokens, covered_tokens, coverage)
+    * for EVERY document — short and unique docs included with coverage 0
+    * — and `coverage` is an exact integer ratio, so the whole operator is
+    * SQL-expressible and DuckDB-oracled.
+    */
+  def spanCoverage(documentsIn: DataFrame, k: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2,
+      s"need k >= 1 and minDocs >= 2, got k=$k minDocs=$minDocs")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val toksCol = filter(split(norm(col("text")), " "), t => length(t) > 0)
+    // tokens tokenized once; the table feeds the span explode AND the
+    // final every-document join (no-CSE rule)
+    val base = documents
+      .select(col("doc_id"), toksCol.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
+    val sp = graft.core.SparkUtil.materializeOnce(
+      base.filter(col("n_tokens") >= k)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => array_join(slice(col("toks"), i, lit(k)), " "))))
+        .select(col("doc_id"), (col("pos") + 1).as("start"),
+          col("col").as("span")))
+    val dup = sp.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("span")
+    val covered = sp.join(dup, "span")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .groupBy("doc_id")
+      .agg(countDistinct("pos").as("covered_tokens"))
+    base.select("doc_id", "n_tokens")
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"))
+      .withColumn("coverage",
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(col("covered_tokens").cast("double") / col("n_tokens")))
+  }
+
   /** Canonical-survivor selection after near-dup clustering: keep the
     * lowest doc_id of each connected dup-group (union by repeated min —
     * one window pass suffices for pairwise near-dup output).

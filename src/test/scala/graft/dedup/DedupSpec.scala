@@ -213,6 +213,48 @@ class DedupSpec extends SparkSpec {
     assert(hashed == brute)
   }
 
+  test("span coverage: exact interval union per doc, clean and short " +
+      "docs score zero") {
+    val boiler =
+      "please read these terms and conditions very carefully before you proceed further"
+    // doc 1: 12 boiler tokens at positions 3..14 of 19; doc 2 and 3 share
+    // them too, so every boiler position is covered; no other span repeats
+    val d = Seq(
+      (1L, s"intro one two $boiler outro alpha beta gamma"),
+      (2L, s"different lead-in text here $boiler and a tail"),
+      (3L, s"third document also contains $boiler somewhere inside it"),
+      (4L, "a unique document with no repeated ten gram span at all kappa"),
+      (5L, "short doc"), (6L, "")).toDF("doc_id", "text")
+    val got = Dedup.spanCoverage(d, k = 10, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // brute force: recompute coverage locally from positional spans
+    val local = Seq(
+      1L -> s"intro one two $boiler outro alpha beta gamma",
+      2L -> s"different lead-in text here $boiler and a tail",
+      3L -> s"third document also contains $boiler somewhere inside it",
+      4L -> "a unique document with no repeated ten gram span at all kappa",
+      5L -> "short doc", 6L -> "")
+    val spans = local.flatMap { case (id, t) =>
+      val w = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      (0 to w.length - 10).map(i => (id, i, w.slice(i, i + 10).mkString(" ")))
+    }
+    val dupSet = spans.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    local.foreach { case (id, t) =>
+      val w = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val covered = spans.filter(s => s._1 == id && dupSet(s._3))
+        .flatMap(s => s._2 until s._2 + 10).distinct.size.toLong
+      val expect = (w.length.toLong, covered,
+        if (w.isEmpty) 0.0 else covered.toDouble / w.length)
+      assert(got(id) == expect, s"doc $id: ${got(id)} != $expect")
+    }
+    assert(got(4L)._3 == 0.0 && got(5L)._3 == 0.0 && got(6L)._3 == 0.0)
+    assert(got(1L)._3 > 0.5, s"boiler-heavy doc must score high: ${got(1L)}")
+  }
+
   test("survivors removes every non-canonical near-dup") {
     val dups = Dedup.minhashNearDups(docsDf, threshold = 0.5)
     val kept = Dedup.survivors(docsDf, dups)
