@@ -358,13 +358,27 @@ object Dedup {
         .withColumn("n", count(lit(1)).over(byDoc))
         .withColumn("rn", row_number().over(order))
         .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
-        .select(col("sh"), col("doc_id"), col("n")))
-    val a = prefix.select(col("sh"), col("doc_id").as("doc_a"), col("n").as("n_a"))
-    val b = prefix.select(col("sh"), col("doc_id").as("doc_b"), col("n").as("n_b"))
+        .select(col("sh"), col("doc_id"), col("n"), col("rn")))
+    val a = prefix.select(col("sh"), col("doc_id").as("doc_a"),
+      col("n").as("n_a"), col("rn").as("p_a"))
+    val b = prefix.select(col("sh"), col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("rn").as("p_b"))
+    // PPJoin positional filter (lossless): at a pair's FIRST shared
+    // element — positions p_a, p_b in the global sort — everything
+    // earlier on each side is non-shared, so the overlap is at most
+    // 1 + min(n_a − p_a, n_b − p_b); J ≥ t needs overlap ≥
+    // ⌈t/(1+t)·(n_a+n_b)⌉, so rows whose positional bound falls short
+    // cannot be a first match and a true pair always survives through
+    // its first-match row. Cuts candidate volume before the pair-dedup.
+    val overlapBound = lit(1.0) +
+      least(col("n_a") - col("p_a"), col("n_b") - col("p_b"))
+    val requiredOverlap =
+      (col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - 1e-9
     val cand = a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b") &&
         col("n_b") >= col("n_a") * threshold - 1e-9 &&
-        col("n_a") >= col("n_b") * threshold - 1e-9)
+        col("n_a") >= col("n_b") * threshold - 1e-9 &&
+        overlapBound >= requiredOverlap)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
     val texts = documents.select(col("doc_id"), col("text"))

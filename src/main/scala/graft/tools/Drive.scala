@@ -151,7 +151,6 @@ object Drive {
     }
   }
 
-  /** End-to-end smoke over the public API surfaces changed this round. */
   /** End-to-end drive of the streaming sessionizers: synthetic transcript
     * file drops → flatMapGroupsWithState ordinals + session_window stats
     * → memory sink; prints both result sets.
@@ -288,7 +287,7 @@ object Drive {
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("rn", row_number().over(ord))
       .filter(col("rn") <= col("n") - ceil(col("n") * 0.5 - 1e-9) + 1)
-      .select(col("sh"), col("doc_id"), col("n"))
+      .select(col("sh"), col("doc_id"), col("n"), col("rn"))
       .localCheckpoint(true)
     println(s"  prefix rows=${prefix.count()}")
     lap("df+window+prefix")
@@ -299,6 +298,19 @@ object Drive {
       col("n_a") >= col("n_b") * 0.5 - 1e-9)
     println(s"  raw candidate rows=${raw.count()}")
     lap("prefix self-join")
+    // with the PPJoin positional bound (mirrors the library filter)
+    val ap = prefix.select(col("sh"), col("doc_id").as("doc_a"),
+      col("n").as("n_a"), col("rn").as("p_a"))
+    val bp = prefix.select(col("sh"), col("doc_id").as("doc_b"),
+      col("n").as("n_b"), col("rn").as("p_b"))
+    val pos = ap.join(bp, Seq("sh")).filter(col("doc_a") < col("doc_b") &&
+      col("n_b") >= col("n_a") * 0.5 - 1e-9 &&
+      col("n_a") >= col("n_b") * 0.5 - 1e-9 &&
+      lit(1.0) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b")) >=
+        (col("n_a") + col("n_b")) * (0.5 / 1.5) - 1e-9)
+    println(s"  positional-filtered rows=${pos.count()} " +
+      s"distinct=${pos.select("doc_a", "doc_b").distinct().count()}")
+    lap("positional filter")
     val cand = raw.select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
     println(s"  distinct candidates=${cand.count()}")
     lap("pair dedup")
@@ -308,6 +320,7 @@ object Drive {
     s.stop()
   }
 
+  /** End-to-end smoke over the public API surfaces changed this round. */
   def smoke(): Unit = {
     val s = session(4)
     def fixture(n: String) = getClass.getResource(s"/sssom/$n").getPath
