@@ -100,6 +100,28 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("PrefixMap: expand∘compress round-trips IRIs under distinct URI " +
+      "prefixes; standardize is idempotent") {
+    val pm = graft.core.PrefixMap(Vector(
+      "A" -> "http://example.org/a/", "B" -> "http://example.org/b#",
+      "C" -> "http://example.org/a/c/"))
+    val local: Gen[String] =
+      Gen.chooseNum(1, 12).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    val iri: Gen[String] = for {
+      base <- Gen.oneOf("http://example.org/a/", "http://example.org/b#",
+        "http://example.org/a/c/")
+      l <- local
+    } yield base + l
+    check(Prop.forAll(iri) { i =>
+      // longest-prefix-wins compression must expand back to the same IRI
+      pm.compress(i).flatMap(pm.expand).contains(i)
+    })
+    check(Prop.forAll(iri) { i =>
+      val once = pm.standardize(i)
+      pm.standardize(once) == once
+    })
+  }
+
   test("shingleHashSet: sorted, distinct, and the set jaccardShingles uses") {
     check(Prop.forAll(text) { t =>
       val s = TextHash.shingleHashSet(t, 3)
