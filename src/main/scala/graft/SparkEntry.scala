@@ -7,7 +7,7 @@ import graft.kg.{KgPipeline, Linker, Synthetic}
 import graft.multimodal.Multimodal
 import graft.ops.MergeReconcile
 import graft.sim.Similarity
-import graft.text.TextOps
+import graft.text.{CorpusStats, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -280,6 +280,28 @@ object SparkEntry {
     "q_doc_span_coverage" -> ((s, dir) =>
       Dedup.spanCoverage(t(s, dir, "documents"), k = 10, minDocs = 2)),
 
+    // benchmark decontamination: corpus docs sharing any word-3-gram with
+    // the held-out "benchmark" slice (every 20th document — derived
+    // deterministically from the same table so the oracle can re-derive
+    // it); benchmark shingle set broadcasts, corpus never shuffles by
+    // shingle
+    "q_doc_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), k = 3)
+    }),
+
+    // corpus profiling: global top-100 word-3-grams by exact occurrence
+    // count (TakeOrderedAndProject — per-task heaps, no global sort)
+    "q_doc_top_ngrams" -> ((s, dir) =>
+      CorpusStats.topNgrams(t(s, dir, "documents"), k = 3, topN = 100)),
+
+    // per-document salient terms: top-3 by tf·(N/df) with deterministic
+    // tie-break (linear idf — exact integer-ratio doubles, oracle-safe)
+    "q_doc_tfidf" -> ((s, dir) =>
+      CorpusStats.tfidfTopTerms(t(s, dir, "documents"), topPerDoc = 3)),
+
     "q_doc_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 8)),
 
@@ -538,6 +560,60 @@ object SparkEntry {
         |FROM ip JOIN sz na ON ip.doc_a = na.doc_id
         | JOIN sz nb ON ip.doc_b = nb.doc_id
         |WHERE CAST(ip.i AS DOUBLE) / (na.n + nb.n - ip.i) >= 0.5""".stripMargin,
+
+    // contamination counts over DISTINCT shingle sets (same tokenizer +
+    // short-doc whole-text fallback as the jaccard oracle); benchmark =
+    // every 20th doc_id, re-derived inside the oracle
+    "q_doc_decontaminate" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |s0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+        | FROM d WHERE len(w) > 0),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  array_to_string(w[i:least(i + 2, len(w))], ' ') AS s FROM s0),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM corp GROUP BY 1),
+        |hit AS (SELECT c.doc_id, count(*) AS n_shared
+        | FROM corp c JOIN bench b USING (s) GROUP BY 1)
+        |SELECT h.doc_id, CAST(sz.n AS BIGINT) AS n_ngrams,
+        | CAST(h.n_shared AS BIGINT) AS n_shared,
+        | CAST(h.n_shared AS DOUBLE) / sz.n AS contamination
+        |FROM hit h JOIN sz USING (doc_id)""".stripMargin,
+
+    // positional 3-grams (repeats count; docs under 3 tokens contribute
+    // none); (n desc, ngram asc) makes the top-100 SET deterministic
+    "q_doc_top_ngrams" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |s0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(1, len(w) - 2)) AS i
+        | FROM d WHERE len(w) >= 3),
+        |sp AS (SELECT array_to_string(w[i:i + 2], ' ') AS ngram FROM s0)
+        |SELECT ngram, count(*) AS n FROM sp GROUP BY 1
+        |ORDER BY n DESC, ngram ASC LIMIT 100""".stripMargin,
+
+    // score = tf * N / df (linear idf): exact integer-ratio doubles are
+    // bit-identical across engines, which log-idf's library ulps are not
+    "q_doc_tfidf" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |  CAST(tf.tf * n.n AS DOUBLE) / dfq.df AS score
+        | FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        |r AS (SELECT doc_id, term, tf, score,
+        |  row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY score DESC, term ASC) AS rank FROM s)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score,
+        | CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 3""".stripMargin,
 
     "q_embed_norm" ->
       """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(embedding,

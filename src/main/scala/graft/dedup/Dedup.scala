@@ -492,6 +492,49 @@ object Dedup {
           .otherwise(col("covered_tokens").cast("double") / col("n_tokens")))
   }
 
+  /** Benchmark decontamination — the evaluation-set n-gram-overlap scan
+    * from the published LM training-data methodology (GPT-3's 13-gram
+    * test-set filter, Brown et al. 2020 appendix C; Dodge et al. 2021's
+    * C4 benchmark-overlap audit): flag every corpus document that shares
+    * at least one word-k-gram with any benchmark document, with exact
+    * per-document overlap counts and the contaminated fraction of its
+    * distinct shingle set.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus
+    * (evaluation suites are megabytes against a 100 TB crawl), so its
+    * DISTINCT shingle-hash set is broadcast — the corpus is never
+    * shuffled by shingle. The corpus side is one projection (a single
+    * shingle-kernel pass, k 8-byte hashes per position), a map-side
+    * broadcast probe, and one groupBy(doc_id) whose partial aggregation
+    * collapses each document's rows to one before the exchange, so the
+    * only shuffle carries ~n_docs count rows. Output (doc_id, n_ngrams,
+    * n_shared, contamination) for contaminated documents only; both
+    * counts are over the document's distinct shingle set and
+    * `contamination` is an exact integer-ratio double, so the operator is
+    * ANSI-SQL-expressible and DuckDB-oracled exactly (shingle-hash
+    * equality ≡ shingle-string equality: the chained-FNV shingle hash is
+    * injective on the corpus modulo 2⁻⁶⁴ collisions, and the ' '-join of
+    * whitespace-free tokens is injective — same argument as
+    * `ngramJaccardNearDups`'s oracle).
+    */
+  def decontaminate(corpusIn: DataFrame, benchmark: DataFrame,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    val corpus = graft.core.SparkUtil.spread(corpusIn)
+    val shSet = udf((t: String) => TextHash.shingleHashSet(t, k))
+    val benchSh = benchmark
+      .select(explode(shSet(col("text"))).as("sh")).distinct()
+      .withColumn("hit", lit(1))
+    val corpSh = corpus
+      .select(col("doc_id"), explode(shSet(col("text"))).as("sh"))
+    corpSh.join(broadcast(benchSh), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), count(col("hit")).as("n_shared"))
+      .filter(col("n_shared") >= 1)
+      .withColumn("contamination",
+        col("n_shared").cast("double") / col("n_ngrams"))
+  }
+
   /** Canonical-survivor selection after near-dup clustering: keep the
     * lowest doc_id of each connected dup-group (union by repeated min —
     * one window pass suffices for pairwise near-dup output).

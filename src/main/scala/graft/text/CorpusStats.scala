@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics operators for training-data pipelines —
+  * the profiling passes run before filtering decisions (what is the
+  * corpus made of, what is salient per document). Pure declarative
+  * column expressions + aggregations: Catalyst's partial aggregation
+  * and TakeOrderedAndProject are exactly the distributed shapes these
+  * classic corpus-stat jobs need, so no custom kernels are involved.
+  */
+object CorpusStats {
+
+  private def norm(c: Column) =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  private def toks(c: Column) =
+    filter(split(norm(c), " "), t => length(t) > 0)
+
+  /** Global top-N most frequent word-k-grams with exact occurrence
+    * counts (positional n-grams — repeats inside one document count; a
+    * document shorter than k tokens contributes none). The classic
+    * corpus-profiling job: boilerplate discovery, stop-phrase lists,
+    * quick duplication smell tests.
+    *
+    * Scale shape: one explode + one groupBy(ngram). Heavy hitters — the
+    * rows this operator exists to find — collapse in the map-side
+    * partial aggregate, so the exchange carries per-partition distinct
+    * ngrams, not corpus positions. The global top-N is
+    * `orderBy(...).limit(N)`, which Spark plans as
+    * TakeOrderedAndProject: each task keeps its local top N and the
+    * driver merges N-row heaps — no global sort, no single-partition
+    * shuffle. The (count desc, ngram asc) order makes the selected SET
+    * deterministic under ties, so the result is DuckDB-oracled exactly.
+    */
+  def topNgrams(documentsIn: DataFrame, k: Int = 3,
+      topN: Int = 100): DataFrame = {
+    require(k >= 1 && topN >= 1, s"need k >= 1, topN >= 1; got $k, $topN")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val t = toks(col("text"))
+    val spans = transform(sequence(lit(1), size(t) - (k - 1)),
+      i => array_join(slice(t, i, lit(k)), " "))
+    documents
+      .filter(size(t) >= k)
+      .select(explode(spans).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram").asc)
+      .limit(topN)
+  }
+
+  /** Per-document salient terms by TF-IDF rank: the top `topPerDoc`
+    * terms of every document under score = tf · (N / df) — term
+    * frequency times inverse document frequency. The idf factor is the
+    * LINEAR ratio N/df rather than the textbook log(N/df): both are
+    * strictly decreasing in df, so per-document term RANKINGS are
+    * related but not identical (log compresses high-tf/common-term
+    * scores harder); the linear form is chosen because tf·N/df is a
+    * single exact integer-ratio double — bit-identical across engines —
+    * making the whole operator DuckDB-oracle-checkable, which log()'s
+    * last-ulp library differences would break. Ties break on term
+    * (score desc, term asc), so output is fully deterministic.
+    *
+    * Scale shape: tokenize once → groupBy(doc_id, term) for tf (partial
+    * agg collapses repeats map-side) → df derived FROM the tf table
+    * (its (doc_id, term) rows are distinct, so df = row count per term
+    * — no second pass over the corpus) → join tf⋈df on term (AQE
+    * broadcasts the dictionary-sized df side when it fits) → per-doc
+    * top-k via a row_number window partitioned BY doc_id — millions of
+    * small partitions, never a global sort. The tf table feeds two
+    * branches (df aggregation + the score join), so it is materialized
+    * once (Catalyst has no cross-branch CSE). N is one count() scalar
+    * of the input — a driver constant, not a per-row collect.
+    */
+  def tfidfTopTerms(documentsIn: DataFrame, topPerDoc: Int = 3): DataFrame = {
+    require(topPerDoc >= 1, s"need topPerDoc >= 1, got $topPerDoc")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val nDocs = documents.count()
+    val tf = graft.core.SparkUtil.materializeOnce(
+      documents
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score", (col("tf") * nDocs).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topPerDoc)
+      .select("doc_id", "term", "tf", "score", "rank")
+  }
+}

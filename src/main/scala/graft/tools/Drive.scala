@@ -37,6 +37,7 @@ object Drive {
     if (sys.env.contains("DRIVE_EXPR")) { exprCheck(); return }
     if (sys.env.contains("DRIVE_SIMHASH")) { simhashCheck(); return }
     if (sys.env.contains("DRIVE_RECONCILE")) { reconcileCheck(); return }
+    if (sys.env.contains("DRIVE_CORPUS")) { corpusCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
     import graft.kg.KgPipeline
     import graft.ops.{MergeReconcile, TripleEmit}
@@ -317,6 +318,36 @@ object Drive {
     val full = graft.dedup.Dedup.ngramJaccardNearDups(docs, 3, 0.5)
     println(s"  final pairs=${full.count()}")
     lap("full operator end-to-end")
+    s.stop()
+  }
+
+  /** Drive of the corpus-stats + decontamination operators at sf0.1:
+    * timings, result shapes, and the broadcast/TakeOrdered plan evidence.
+    */
+  def corpusCheck(): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = session(32)
+    val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
+    val docs = graft.core.SparkUtil.spread(
+      s.read.parquet(s"$dir/documents.parquet"))
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val decon = graft.dedup.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), k = 3)
+    time("decontaminate count")(println(s"  contaminated=${decon.count()}"))
+    decon.orderBy(col("contamination").desc).show(5, truncate = false)
+    println("  broadcast in plan: " +
+      decon.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val top = graft.text.CorpusStats.topNgrams(docs, k = 3, topN = 10)
+    time("topNgrams")(top.show(10, truncate = false))
+    println("  TakeOrdered in plan: " +
+      top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+    val tfidf = graft.text.CorpusStats.tfidfTopTerms(docs, topPerDoc = 3)
+    time("tfidf count")(println(s"  rows=${tfidf.count()}"))
+    tfidf.filter(col("doc_id") === 1).show(5, truncate = false)
     s.stop()
   }
 

@@ -35,6 +35,30 @@ class DedupSpec extends SparkSpec {
 
   private lazy val docsDf = docs.toDF("doc_id", "text")
 
+  test("decontaminate: exact overlap counts, broadcast bench side") {
+    val bench = Seq(
+      (1000L, "alpha beta gamma delta"), // shingles {abg, bgd}
+      (1001L, "solo")                    // short-doc fallback shingle
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma zeta"),  // shares "alpha beta gamma": 1 of 2
+      (2L, "zeta eta theta iota"),    // clean — must not appear
+      (3L, "alpha beta gamma delta"), // identical: 2 of 2
+      (4L, "solo")                    // fallback shingle hit: 1 of 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, k = 3)
+      .select("doc_id", "n_ngrams", "n_shared", "contamination")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 2L, 1L, 0.5), (3L, 2L, 2L, 1.0),
+      (4L, 1L, 1L, 1.0)))
+    // the benchmark shingle set must broadcast: the corpus side is never
+    // shuffled by shingle at any scale
+    val plan = Dedup.decontaminate(corpus, bench, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench shingles must broadcast:\n${plan.take(1500)}")
+  }
+
   test("exact dedup groups exact copies") {
     val d = Dedup.exact(docsDf)
     assert(d.count() == 40) // 45 docs, 5 exact copies collapse
