@@ -19,9 +19,11 @@ object Bench {
     "q_reconcile_sssom", "q_cardinality", "q_anti_remove", "q_union_dedup",
     "q_diff_pairs", "q_invert", "q_like_filter", "q_sessionize",
     "q_top3_per_flag", "q_doc_token_count", "q_doc_fingerprint",
-    "q_doc_exact_dedup", "q_doc_quality", "q_doc_lang",
+    "q_doc_exact_dedup", "q_doc_quality", "q_doc_lang", "q_doc_lang_stats",
+    "q_doc_split", "q_doc_sample",
     "q_doc_minhash_neardup", "q_doc_ngram_jaccard", "q_doc_dup_spans",
-    "q_doc_span_coverage", "q_doc_decontaminate", "q_doc_top_ngrams",
+    "q_doc_span_coverage", "q_doc_decontaminate",
+    "q_doc_decontaminate_bloom", "q_doc_top_ngrams",
     "q_doc_tfidf", "q_doc_simhash_neardup", "q_doc_simhash128_neardup",
     "q_embed_norm", "q_embed_topk", "q_embed_ann_lsh", "q_embed_ann_ivf",
     "q_embed_neardup", "q_embed_neardup_lsh", "q_multimodal_features",

@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.graph.Components
 import graft.kg.{KgPipeline, Linker, Synthetic}
 import graft.multimodal.Multimodal
-import graft.ops.MergeReconcile
+import graft.ops.{MergeReconcile, Sampling}
 import graft.sim.Similarity
 import graft.text.{CorpusStats, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -291,6 +291,41 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0), k = 3)
     }),
+
+    // Bloom arm of decontamination (rows-only): same contract, benchmark
+    // side compressed to ~10 bits/shingle — the shape that still
+    // broadcasts when the filter set is billions of shingles. Witnessed
+    // against the exact arm (superset, n_shared upper bound, FPR ≤ 2·fpp)
+    "q_doc_decontaminate_bloom" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), k = 3, fpp = 1e-4)
+    }),
+
+    // deterministic train/val/test split: hashed percent buckets — a
+    // shuffle-free codegen'd projection whose assignment is stable under
+    // corpus growth and engine-portable (md5-based, DuckDB-oracled)
+    "q_doc_split" -> ((s, dir) =>
+      Sampling.assignSplit(t(s, dir, "documents"), trainPct = 80,
+        valPct = 10, salt = "v1")),
+
+    // deterministic 10% subsample at full 32-bit hash granularity — the
+    // reproducible alternative to seeded partition-iterator sampling
+    "q_doc_sample" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), fraction = 0.1)
+        .select("doc_id")),
+
+    // per-language corpus profile: doc counts + exact token totals by
+    // predicted language (one partial-agg shuffle of ≤5 tiny rows)
+    "q_doc_lang_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextOps.langId(col("text")).as("lang_pred"),
+          TextOps.tokenCount(col("text")).cast("long").as("nt"))
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("total_tokens"))
+        .withColumn("avg_tokens",
+          col("total_tokens").cast("double") / col("n_docs"))),
 
     // corpus profiling: global top-100 word-3-grams by exact occurrence
     // count (TakeOrderedAndProject — per-task heaps, no global sort)
@@ -582,6 +617,57 @@ object SparkEntry {
         | CAST(h.n_shared AS BIGINT) AS n_shared,
         | CAST(h.n_shared AS DOUBLE) / sz.n AS contamination
         |FROM hit h JOIN sz USING (doc_id)""".stripMargin,
+
+    // split assignment is itself oracle-checkable: both engines compute
+    // the same md5-derived 32-bit bucket (hex-prefix recipe)
+    "q_doc_split" ->
+      """SELECT doc_id, b AS bucket,
+        | CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'),
+        |   1, 8))::UBIGINT AS BIGINT) % 100 AS b
+        | FROM documents)""".stripMargin,
+
+    // kept set = hash < fraction * 2^32 (429496729 = floor(0.1 * 2^32))
+    "q_doc_sample" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'),
+        |  1, 8))::UBIGINT AS BIGINT) < 429496729""".stripMargin,
+
+    // same marker counts + CASE as q_doc_lang, aggregated; avg is one
+    // IEEE division of exact integers (bit-identical cross-engine)
+    "q_doc_lang_stats" ->
+      """WITH base AS (SELECT doc_id, concat(' ', lower(text), ' ') AS t,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   END AS nt
+        | FROM documents),
+        |cnt AS (SELECT doc_id, nt,
+        |  CAST((length(t) - length(replace(t, ' the ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' and ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' is ', ''))) / 4 AS BIGINT) AS en,
+        |  CAST((length(t) - length(replace(t, ' der ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' und ', ''))) / 5 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' ist ', ''))) / 5 AS BIGINT) AS de,
+        |  CAST((length(t) - length(replace(t, ' le ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' et ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' est ', ''))) / 5 AS BIGINT) AS fr,
+        |  CAST((length(t) - length(replace(t, ' el ', ''))) / 4 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' y ', ''))) / 3 AS BIGINT)
+        |   + CAST((length(t) - length(replace(t, ' es ', ''))) / 4 AS BIGINT) AS es
+        | FROM base),
+        |l AS (SELECT nt,
+        |  CASE WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |   WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |   WHEN fr >= es AND fr > 0 THEN 'fr'
+        |   WHEN es > 0 THEN 'es'
+        |   ELSE 'und' END AS lang_pred
+        | FROM cnt)
+        |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS total_tokens,
+        | CAST(sum(nt) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM l GROUP BY 1""".stripMargin,
 
     // positional 3-grams (repeats count; docs under 3 tokens contribute
     // none); (n desc, ngram asc) makes the top-100 SET deterministic

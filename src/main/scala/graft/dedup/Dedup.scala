@@ -535,6 +535,65 @@ object Dedup {
         col("n_shared").cast("double") / col("n_ngrams"))
   }
 
+  /** Bloom-filter arm of benchmark decontamination — the shape that holds
+    * when the benchmark side outgrows a raw broadcast set. The exact arm
+    * above broadcasts the benchmark's distinct shingle hashes as a hashed
+    * relation: 8 bytes a shingle plus join-map overhead, fine for
+    * evaluation suites but not for the other standard use of the same
+    * scan — filtering a new crawl against EVERYTHING already trained on,
+    * where the "benchmark" is billions of shingles. A Bloom filter at
+    * `fpp` compresses that to ~1.44·log2(1/fpp) BITS per shingle (~10 bits
+    * at 1%: 1.2 GB per 10⁹ shingles vs tens of GB hashed), still one
+    * broadcast + a map-side probe — the corpus is never shuffled by
+    * shingle, same as the exact arm.
+    *
+    * Semantics: no false negatives — every truly contaminated document is
+    * flagged and every true shared shingle counted (`mightContain` never
+    * misses an inserted value), so the flagged set is a SUPERSET of the
+    * exact arm's and per-doc `n_shared` is an upper bound, inflated only
+    * by false positives at ~`fpp` per clean shingle. That one-sidedness is
+    * the property pipelines need: decontamination may over-drop slightly,
+    * never under-drop. Note the doc-level consequence: a clean document of
+    * n distinct shingles is spuriously flagged with probability
+    * 1-(1-fpp)^n, so `fpp` must be sized against DOCUMENT shingle counts,
+    * not wished at 1% — the 1e-4 default holds spurious flags under ~5%
+    * for 500-shingle documents; pipelines filtering on the `contamination`
+    * fraction rather than n_shared ≥ 1 are insensitive to fpp entirely.
+    * Both one-sidedness properties are asserted against the exact arm in
+    * DedupSpec.
+    *
+    * The filter is built by Spark's native `stat.bloomFilter` aggregate
+    * (tree-aggregated `putLong`s, one pass over the benchmark) and shipped
+    * once as a broadcast variable; the probe is a Long→Boolean UDF —
+    * string-free, so the ScalaUDF bridge costs no boxing on the hot path.
+    */
+  def decontaminateBloom(corpusIn: DataFrame, benchmark: DataFrame,
+      k: Int = 3, fpp: Double = 1e-4,
+      expectedShingles: Long = 0L): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val corpus = graft.core.SparkUtil.spread(corpusIn)
+    val shSet = udf((t: String) => TextHash.shingleHashSet(t, k))
+    val benchSh = benchmark
+      .select(explode(shSet(col("text"))).as("sh")).distinct()
+    // sizing: caller-provided estimate at real scale (a count() over 100 TB
+    // of benchmark just to size a filter is wasteful — pipelines know their
+    // suite sizes); fall back to an exact count at test/bench scale
+    val n = if (expectedShingles > 0L) expectedShingles
+      else math.max(benchSh.count(), 1L)
+    val bf = benchSh.stat.bloomFilter("sh", n, fpp)
+    val bfB = corpus.sparkSession.sparkContext.broadcast(bf)
+    val hit = udf((sh: Long) => bfB.value.mightContainLong(sh))
+    corpus
+      .select(col("doc_id"), explode(shSet(col("text"))).as("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(hit(col("sh")), 1L).otherwise(0L)).as("n_shared"))
+      .filter(col("n_shared") >= 1)
+      .withColumn("contamination",
+        col("n_shared").cast("double") / col("n_ngrams"))
+  }
+
   /** Canonical-survivor selection after near-dup clustering: keep the
     * lowest doc_id of each connected dup-group (union by repeated min —
     * one window pass suffices for pairwise near-dup output).

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and dataset splitting for
+  * training-data pipelines: every decision is a pure function of the row's
+  * id and a salt string, so the assignment is (a) reproducible across runs,
+  * engines, and cluster sizes, (b) stable under corpus growth — adding new
+  * documents never moves an existing document's split, the property that
+  * keeps eval sets uncontaminated across crawl refreshes — and (c) a
+  * narrow map with NO shuffle and NO random-number state: at 100 TB it
+  * costs one codegen'd projection fused into the scan.
+  *
+  * The hash is the first 8 hex digits of md5 (a 32-bit uniform value),
+  * chosen over xxhash64 because md5 is bit-identical in every engine the
+  * oracle runs (DuckDB recipe: `('0x' || substr(md5(x),1,8))::UBIGINT`),
+  * so split assignment itself is DuckDB-oracle-checkable exactly. The
+  * modulo-100 bucket is biased by 2^32 mod 100 = 96 parts in 4 billion
+  * (~2e-8 relative) — irrelevant against percent-granularity splits.
+  */
+object Sampling {
+
+  /** 32-bit uniform hash of (id, salt) as a non-negative long column. */
+  def bucketHash(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long")
+
+  /** Percent bucket 0..99 — the unit of split assignment. */
+  def bucket(id: Column, salt: String): Column = bucketHash(id, salt) % 100
+
+  /** Assign every row to train/val/test by hashed percent bucket:
+    * [0, trainPct) → train, [trainPct, trainPct+valPct) → val, rest →
+    * test. Output (idCol, bucket, split) — disjoint and exhaustive by
+    * construction. Changing `salt` re-deals the whole assignment;
+    * keeping it fixed pins every id's split forever.
+    */
+  def assignSplit(df: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10,
+      salt: String = "v1"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = bucket(col(idCol), salt)
+    df.select(col(idCol), b.as("bucket"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Deterministic subsample at full 32-bit granularity: keep rows whose
+    * hash falls under fraction × 2^32. Unlike `df.sample` (seeded RNG over
+    * a partition iterator — resolution-dependent and engine-private), the
+    * kept SET is a pure function of (id, salt): stable across engines,
+    * partitionings, and re-runs, which is what makes downsampled corpora
+    * reproducible.
+    */
+  def hashSample(df: DataFrame, fraction: Double, idCol: String = "doc_id",
+      salt: String = "v1"): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    val cut = (fraction * 4294967296.0).toLong
+    df.filter(bucketHash(col(idCol), salt) < cut)
+  }
+}

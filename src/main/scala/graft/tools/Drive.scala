@@ -38,6 +38,7 @@ object Drive {
     if (sys.env.contains("DRIVE_SIMHASH")) { simhashCheck(); return }
     if (sys.env.contains("DRIVE_RECONCILE")) { reconcileCheck(); return }
     if (sys.env.contains("DRIVE_CORPUS")) { corpusCheck(); return }
+    if (sys.env.contains("DRIVE_SAMPLING")) { samplingCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
     import graft.kg.KgPipeline
     import graft.ops.{MergeReconcile, TripleEmit}
@@ -349,6 +350,56 @@ object Drive {
     time("tfidf count")(println(s"  rows=${tfidf.count()}"))
     tfidf.filter(col("doc_id") === 1).show(5, truncate = false)
     s.stop()
+  }
+
+  /** Drive of the sampling/split + Bloom-decontamination operators at
+    * sf0.1: split counts, sample determinism across sessions, exact-vs-
+    * bloom agreement, timings, and the no-shuffle/no-join plan evidence.
+    */
+  def samplingCheck(): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val firstKept = {
+      val s = session(32)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val split = graft.ops.Sampling.assignSplit(docs)
+      time("assignSplit counts") {
+        split.groupBy("split").count().orderBy("split").show()
+      }
+      println("  exchanges in split plan: " +
+        "Exchange".r.findAllIn(split.queryExecution.executedPlan.toString).length)
+      val kept = time("hashSample 10%")(
+        graft.ops.Sampling.hashSample(docs, 0.1)
+          .select("doc_id").collect().map(_.getLong(0)).toSet)
+      println(s"  kept=${kept.size} of ${docs.count()}")
+      val exact = graft.dedup.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), k = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val bloomDf = graft.dedup.Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), k = 3, fpp = 1e-4)
+      val bloom = time("decontaminateBloom")(
+        bloomDf.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap)
+      val missed = exact.count { case (id, n) => bloom.getOrElse(id, 0L) < n }
+      println(s"  exact flagged=${exact.size} bloom flagged=${bloom.size} " +
+        s"false-negatives=$missed (must be 0)")
+      println("  joins in bloom plan: " + "Join".r.findAllIn(
+        bloomDf.queryExecution.executedPlan.toString).length)
+      s.stop()
+      kept
+    }
+    // determinism across a fresh session and a different parallelism
+    val s2 = session(8)
+    val again = graft.ops.Sampling.hashSample(
+      s2.read.parquet(s"$dir/documents.parquet"), 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    println(s"  cross-session sample identical: ${again == firstKept}")
+    s2.stop()
   }
 
   /** End-to-end smoke over the public API surfaces changed this round. */

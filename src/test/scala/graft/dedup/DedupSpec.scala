@@ -59,6 +59,44 @@ class DedupSpec extends SparkSpec {
       s"bench shingles must broadcast:\n${plan.take(1500)}")
   }
 
+  test("decontaminateBloom: superset of exact arm, n_shared upper bound, " +
+      "shingle FPR within sizing, no join in the plan") {
+    // contaminated slice: every 5th doc of the shared-vocabulary corpus is
+    // "benchmark"; the rest is corpus. Exact vs Bloom on identical input.
+    val bench = docsDf.filter(col("doc_id") % 5 === 0)
+    val corpus = docsDf.filter(col("doc_id") % 5 =!= 0)
+    val exact = Dedup.decontaminate(corpus, bench, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = Dedup.decontaminateBloom(corpus, bench, k = 3, fpp = 1e-4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // no false negatives: every exactly-contaminated doc flagged, with at
+    // least its true shared-shingle count
+    exact.foreach { case (id, nShared) =>
+      assert(bloom.contains(id), s"bloom arm missed contaminated doc $id")
+      assert(bloom(id) >= nShared,
+        s"doc $id: bloom n_shared ${bloom(id)} < exact $nShared")
+    }
+    // per-shingle FPR bound on a disjoint-vocabulary clean corpus: count
+    // spurious shared shingles against a generous 10x-of-fpp=1% ceiling
+    // (23k Bernoulli(0.01) trials — far above any plausible noise floor)
+    val clean = (0 until 400).map { i =>
+      (5000L + i, (0 until 60).map(j =>
+        java.lang.Long.toHexString(TextHash.mix(i.toLong * 131 + 17, j.toLong)))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val fp = Dedup.decontaminateBloom(clean, bench, k = 3, fpp = 0.01)
+      .agg(coalesce(sum("n_shared"), lit(0L))).collect()(0).getLong(0)
+    val nCleanShingles = clean.select(
+      explode(Dedup.shingles(col("text"), 3))).distinct().count()
+    assert(fp <= (nCleanShingles * 0.01 * 10).toLong + 10,
+      s"bloom FPR blew past sizing: $fp of $nCleanShingles clean shingles")
+    // the corpus is probed map-side against the broadcast filter: the
+    // plan contains NO join of any kind
+    val plan = Dedup.decontaminateBloom(corpus, bench, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bloom arm must not join:\n${plan.take(1500)}")
+  }
+
   test("exact dedup groups exact copies") {
     val d = Dedup.exact(docsDf)
     assert(d.count() == 40) // 45 docs, 5 exact copies collapse

@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 10000L).toDF("doc_id")
+
+  test("assignSplit: disjoint, exhaustive, and within binomial bounds") {
+    val out = Sampling.assignSplit(ids, trainPct = 80, valPct = 10)
+    assert(out.count() == 10000)
+    val bySplit = out.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit.values.sum == 10000)
+    // 5-sigma binomial bounds on 10000 deterministic-hash draws
+    assert(math.abs(bySplit("train") - 8000) < 200, bySplit.toString)
+    assert(math.abs(bySplit("val") - 1000) < 150, bySplit.toString)
+    assert(math.abs(bySplit("test") - 1000) < 150, bySplit.toString)
+    // buckets live in [0, 100) and match the split bands exactly
+    val bad = out.filter(
+      (col("bucket") < 0) || (col("bucket") >= 100) ||
+      (col("split") === "train" && col("bucket") >= 80) ||
+      (col("split") === "val" &&
+        (col("bucket") < 80 || col("bucket") >= 90)) ||
+      (col("split") === "test" && col("bucket") < 90)).count()
+    assert(bad == 0)
+  }
+
+  test("assignSplit is stable under corpus growth and partitioning; " +
+      "salt re-deals") {
+    val subset = Sampling.assignSplit(ids.filter(col("doc_id") < 1000))
+      .as[(Long, Long, String)].collect()
+      .map { case (id, b, s) => id -> ((b, s)) }.toMap
+    val superset = Sampling.assignSplit(ids.repartition(13))
+      .filter(col("doc_id") < 1000)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, b, s) => id -> ((b, s)) }.toMap
+    assert(subset == superset,
+      "adding documents or repartitioning moved an existing split")
+    val reDealt = Sampling.assignSplit(ids.filter(col("doc_id") < 1000),
+      salt = "v2").as[(Long, Long, String)].collect()
+      .count { case (id, _, s) => subset(id)._2 != s }
+    assert(reDealt > 50, s"salt change re-dealt only $reDealt of 1000")
+  }
+
+  test("hashSample: deterministic kept set at ~fraction, consistent with " +
+      "bucket granularity") {
+    val kept = Sampling.hashSample(ids, 0.1).as[Long].collect().toSet
+    assert(math.abs(kept.size - 1000) < 150, kept.size.toString)
+    val again = Sampling.hashSample(ids.repartition(7), 0.1)
+      .as[Long].collect().toSet
+    assert(kept == again, "kept set depends on partitioning")
+    // nested samples: a 5% sample is a subset of the 10% sample (threshold
+    // monotonicity — the property that makes downsampling ladders coherent)
+    val five = Sampling.hashSample(ids, 0.05).as[Long].collect().toSet
+    assert(five.subsetOf(kept))
+    // fraction 0 and 1 are exact
+    assert(Sampling.hashSample(ids, 0.0).count() == 0)
+    assert(Sampling.hashSample(ids, 1.0).count() == 10000)
+  }
+
+  test("split assignment is a shuffle-free projection") {
+    val plan = Sampling.assignSplit(ids).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"split must not shuffle:\n${plan.take(1000)}")
+  }
+}
