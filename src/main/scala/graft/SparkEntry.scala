@@ -337,6 +337,17 @@ object SparkEntry {
     "q_doc_tfidf" -> ((s, dir) =>
       CorpusStats.tfidfTopTerms(t(s, dir, "documents"), topPerDoc = 3)),
 
+    // corpus vocabulary summary, exact arm (the DuckDB oracle); the HLL
+    // sketch arm — whose exchange is O(1) in distinct tokens — is
+    // error-bound-tested against this arm in CorpusStatsSpec
+    "q_doc_vocab" -> ((s, dir) =>
+      CorpusStats.vocabStats(t(s, dir, "documents"))),
+
+    // per-source curation profile: doc/token totals + distinct content
+    // fingerprints → internal duplication rate per source
+    "q_doc_source_stats" -> ((s, dir) =>
+      CorpusStats.sourceStats(t(s, dir, "documents"))),
+
     "q_doc_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 8)),
 
@@ -668,6 +679,33 @@ object SparkEntry {
         | CAST(sum(nt) AS BIGINT) AS total_tokens,
         | CAST(sum(nt) AS DOUBLE) / count(*) AS avg_tokens
         |FROM l GROUP BY 1""".stripMargin,
+
+    // same tokenizer as the jaccard/tfidf oracles; n_docs counts
+    // token-bearing documents (blank docs contribute no token rows)
+    "q_doc_vocab" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS term FROM d)
+        |SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS total_tokens,
+        | CAST(count(DISTINCT term) AS BIGINT) AS distinct_tokens
+        |FROM tok""".stripMargin,
+
+    // md5 fingerprints are engine-identical, so the distinct-fingerprint
+    // count and the derived dup_rate double compare exactly
+    "q_doc_source_stats" ->
+      """WITH f AS (SELECT source,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   END AS nt
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(nt) AS BIGINT) AS total_tokens,
+        | CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fingerprints,
+        | 1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS dup_rate
+        |FROM f GROUP BY 1""".stripMargin,
 
     // positional 3-grams (repeats count; docs under 3 tokens contribute
     // none); (n desc, ngram asc) makes the top-100 SET deterministic

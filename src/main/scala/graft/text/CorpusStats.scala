@@ -92,4 +92,65 @@ object CorpusStats {
       .filter(col("rank") <= topPerDoc)
       .select("doc_id", "term", "tf", "score", "rank")
   }
+
+  /** Corpus vocabulary summary — one row of (n_docs, total_tokens,
+    * distinct_tokens): the first numbers any corpus report leads with
+    * (type/token ratio, vocabulary growth between crawl snapshots).
+    *
+    * Two arms, same schema:
+    *  - `approximate = false` (oracle arm): exact `count_distinct` —
+    *    Spark plans the mixed distinct/non-distinct aggregate as an
+    *    Expand (×2 rows) + two-phase aggregation whose exchange carries
+    *    every per-partition-distinct TOKEN. Exactly right at bench scale
+    *    and DuckDB-checkable, but the shuffled token dictionary grows
+    *    with the corpus.
+    *  - `approximate = true` (100 TB arm): HyperLogLog++ via
+    *    `approx_count_distinct(rsd)` — each task folds its tokens into a
+    *    fixed-size HLL sketch and the exchange carries ONE sketch per
+    *    partition regardless of corpus size; error is a tunable ~rsd
+    *    (asserted < 3·rsd in CorpusStatsSpec against the exact arm).
+    *    This is the difference between a bounded-size shuffle and a
+    *    vocabulary-sized one — the sketch arm's cost is O(1) in distinct
+    *    tokens.
+    */
+  def vocabStats(documentsIn: DataFrame, approximate: Boolean = false,
+      rsd: Double = 0.01): DataFrame = {
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val tok = documents.select(explode(toks(col("text"))).as("term"),
+      col("doc_id"))
+    // the sketch arm sketches BOTH distincts — one exact count_distinct
+    // would reintroduce the Expand + value-sized exchange the arm exists
+    // to avoid (n_docs error is the same tunable ~rsd)
+    def dct(c: Column) =
+      if (approximate) approx_count_distinct(c, rsd) else count_distinct(c)
+    tok.agg(dct(col("doc_id")).as("n_docs"),
+      count(lit(1)).as("total_tokens"),
+      dct(col("term")).as("distinct_tokens"))
+  }
+
+  /** Per-source curation profile over `documents(source, ...)`: document
+    * counts, exact token totals, and the source's distinct content
+    * fingerprints — `1 - distinct/docs` is its internal duplication rate,
+    * the signal that gets boilerplate-heavy sources down-weighted or cut.
+    * `approximate = true` swaps the exact fingerprint count_distinct for
+    * the HLL sketch (same trade as `vocabStats`: the exchange carries one
+    * sketch per (partition, source) instead of every distinct
+    * fingerprint). The exact arm is DuckDB-oracled (md5 fingerprints are
+    * engine-identical).
+    */
+  def sourceStats(documentsIn: DataFrame, approximate: Boolean = false,
+      rsd: Double = 0.01): DataFrame = {
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val fp = TextOps.fingerprint(col("text"))
+    val distinctFp =
+      if (approximate) approx_count_distinct(fp, rsd)
+      else count_distinct(fp)
+    documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        distinctFp.as("distinct_fingerprints"))
+      .withColumn("dup_rate",
+        lit(1.0) - col("distinct_fingerprints").cast("double") / col("n_docs"))
+  }
 }

@@ -44,4 +44,55 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(Long, String, Long, Double, Long)].collect().toSet
     assert(out == Set((1L, "a", 1L, 1.0, 1L), (1L, "b", 1L, 1.0, 2L)))
   }
+
+  test("vocabStats: exact counts; HLL arm within 3*rsd with a " +
+      "sketch-sized exchange") {
+    val docs = Seq(
+      (1L, "apple apple banana"), (2L, "banana  CHERRY"),
+      (3L, ""), (4L, "date")).toDF("doc_id", "text")
+    val exact = CorpusStats.vocabStats(docs)
+      .as[(Long, Long, Long)].collect().head
+    // doc 3 has no tokens → 3 token-bearing docs, 6 tokens, 4 distinct
+    assert(exact == ((3L, 6L, 4L)))
+    // HLL arm on a corpus big enough for the estimate to mean something
+    val wide = (0 until 2000).map(i =>
+      (i.toLong, s"tok$i tok${i + 1} common")).toDF("doc_id", "text")
+    val ex = CorpusStats.vocabStats(wide)
+      .as[(Long, Long, Long)].collect().head
+    val ap = CorpusStats.vocabStats(wide, approximate = true, rsd = 0.02)
+      .as[(Long, Long, Long)].collect().head
+    assert(ap._2 == ex._2) // the plain count stays exact
+    for ((got, want) <- Seq((ap._1, ex._1), (ap._3, ex._3))) {
+      val relErr = math.abs(got - want).toDouble / want
+      assert(relErr < 0.06, s"HLL err $relErr (exact $want, got $got)")
+    }
+    // the sketch arm must not shuffle tokens: no Expand (the exact
+    // mixed-distinct plan's marker) anywhere in its plan
+    val apPlan = CorpusStats.vocabStats(wide, approximate = true)
+      .queryExecution.executedPlan.toString
+    assert(!apPlan.contains("Expand"), s"sketch arm expanded:\n$apPlan")
+    val exPlan = CorpusStats.vocabStats(wide)
+      .queryExecution.executedPlan.toString
+    assert(exPlan.contains("Expand"), "exact-arm plan shape changed — " +
+      "re-check the scaladoc's cost story")
+  }
+
+  test("sourceStats: per-source dup rate from distinct fingerprints; " +
+      "HLL arm agrees at small cardinality") {
+    val docs = Seq(
+      (1L, "same text", "web"), (2L, "Same   TEXT", "web"), // one fp
+      (3L, "other text", "web"),
+      (4L, "unique here", "books"), (5L, "and another", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.sourceStats(docs)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("web") == (("web", 3L, 6L, 2L, 1.0 - 2.0 / 3)))
+    assert(out("books") == (("books", 2L, 4L, 2L, 0.0)))
+    // HLL at tiny cardinality is exact (dense register path)
+    val ap = CorpusStats.sourceStats(docs, approximate = true)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(ap == Map("web" -> 2L, "books" -> 2L))
+  }
 }
