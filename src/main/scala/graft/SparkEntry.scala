@@ -316,6 +316,18 @@ object SparkEntry {
       Sampling.hashSample(t(s, dir, "documents"), fraction = 0.1)
         .select("doc_id")),
 
+    // leakage-safe split: simhash near-dup clusters (CC over the pair
+    // graph) assigned as units by their canonical member's hash —
+    // rows-only (CC is not SQL-expressible); witnessed in
+    // TestdataWitnessSpec (no pair straddles a split; singletons equal
+    // assignSplit exactly)
+    "q_doc_split_leakfree" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.leakageSafeSplit(docs,
+        Dedup.simhashNearDups(docs, maxHamming = 8)
+          .select("doc_a", "doc_b"))
+    }),
+
     // per-language corpus profile: doc counts + exact token totals by
     // predicted language (one partial-agg shuffle of ≤5 tiny rows)
     "q_doc_lang_stats" -> ((s, dir) =>

@@ -47,6 +47,42 @@ object Sampling {
         .otherwise("test").as("split"))
   }
 
+  /** Leakage-safe split: near-duplicate documents must never straddle a
+    * train/eval boundary — a paraphrase of a test document inside the
+    * training set is contamination that document-level splitting cannot
+    * see. Given pairwise near-dup output (`doc_a`, `doc_b` — from any of
+    * the minhash/simhash/n-gram/embedding detectors), documents are
+    * grouped into duplicate clusters with distributed connected
+    * components, and the WHOLE cluster is assigned by the hash of its
+    * canonical (minimum) member id. Unpaired documents hash by their own
+    * id, so their assignment is identical to `assignSplit` — adding a
+    * near-dup detector to a pipeline only ever MOVES documents that were
+    * provably entangled.
+    *
+    * Output (idCol, split_key, bucket, split): `split_key` is the cluster
+    * canonical id (= own id for singletons) — exposed because audits want
+    * to group by it. Scale shape: CC runs over the PAIR graph only
+    * (near-dup output is a small fraction of the corpus), and the final
+    * join of corpus to cluster labels is a dictionary-sized broadcast in
+    * practice; the split itself stays a pure projection.
+    */
+  def leakageSafeSplit(df: DataFrame, dupPairs: DataFrame,
+      idCol: String = "doc_id", trainPct: Int = 80, valPct: Int = 10,
+      salt: String = "v1"): DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val comps = graft.graph.Components.connectedComponents(
+      dupPairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .withColumnRenamed("node", idCol)
+    val keyed = df.join(comps, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("comp"), col(idCol)))
+    val b = bucket(col("split_key"), salt)
+    keyed.select(col(idCol), col("split_key"), b.as("bucket"),
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Deterministic subsample at full 32-bit granularity: keep rows whose
     * hash falls under fraction × 2^32. Unlike `df.sample` (seeded RNG over
     * a partition iterator — resolution-dependent and engine-private), the

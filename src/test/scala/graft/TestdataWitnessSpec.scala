@@ -57,6 +57,33 @@ class TestdataWitnessSpec extends SparkSpec {
     assert(out.count() > 0) // the sf0.01 corpus has 128-bit near-dups
   }
 
+  test("q_doc_split_leakfree @ sf0.01: no near-dup pair straddles a " +
+      "split; unpaired docs equal assignSplit") {
+    assume(has("documents"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = SparkEntry.queries("q_doc_split_leakfree")(spark, sfDir)
+      .select("doc_id", "split_key", "split")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out.size == docs.count())
+    val pairs = graft.dedup.Dedup.simhashNearDups(docs, maxHamming = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._2 == out(b)._2, s"pair ($a,$b) straddles splits")
+      assert(out(a)._1 == out(b)._1, s"pair ($a,$b) in different clusters")
+    }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val base = graft.ops.Sampling.assignSplit(docs)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    out.foreach { case (id, (key, split)) =>
+      if (!paired.contains(id)) {
+        assert(key == id && split == base(id),
+          s"unpaired doc $id moved: $split vs ${base(id)}")
+      }
+    }
+  }
+
   test("q_doc_minhash_neardup @ sf0.01: verified subset; exact 25-pair set") {
     assume(has("documents"))
     val lsh = SparkEntry.queries("q_doc_minhash_neardup")(spark, sfDir)

@@ -62,6 +62,37 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, 1.0).count() == 10000)
   }
 
+  test("leakageSafeSplit: clusters move as units, singletons match " +
+      "assignSplit, transitive chains stay together") {
+    val docs = (0L until 100L).toDF("doc_id")
+    // chain 1-2-3 (transitive closure must group all three) + pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Sampling.leakageSafeSplit(docs, pairs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 100)
+    // every clustered doc carries the cluster's canonical (min) member
+    // and therefore the same split
+    for (grp <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L))) {
+      assert(grp.map(out(_)._2).distinct == Seq(grp.min),
+        s"cluster $grp not keyed by its min member")
+      assert(grp.map(out(_)._4).distinct.size == 1,
+        s"cluster $grp straddles splits")
+    }
+    // unpaired docs: identical to plain assignSplit
+    val base = Sampling.assignSplit(docs)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    val clustered = Set(1L, 2L, 3L, 10L, 11L)
+    docs.as[Long].collect().filterNot(clustered).foreach { id =>
+      assert(out(id)._4 == base(id),
+        s"unpaired doc $id moved: ${out(id)._4} vs ${base(id)}")
+      assert(out(id)._2 == id)
+    }
+    // the canonical members' own assignment equals their plain split, so
+    // cluster assignment = assignSplit of the min member
+    assert(out(1L)._4 == base(1L) && out(10L)._4 == base(10L))
+  }
+
   test("split assignment is a shuffle-free projection") {
     val plan = Sampling.assignSplit(ids).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
