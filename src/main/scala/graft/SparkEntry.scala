@@ -280,6 +280,21 @@ object SparkEntry {
     "q_doc_span_coverage" -> ((s, dir) =>
       Dedup.spanCoverage(t(s, dir, "documents"), k = 10, minDocs = 2)),
 
+    // intra-document repetition metrics (the Gopher repetition-filter
+    // family, Rae et al. 2021 table A1): per-doc top-n-gram character
+    // mass (n=2..4) + duplicate-n-gram position coverage (n=5..10) +
+    // the published keep decision — one shuffle-free kernel pass
+    "q_doc_repetition" -> ((s, dir) =>
+      TextOps.repetitionMetrics(t(s, dir, "documents"))),
+
+    // sequence packing (concat-and-chunk): the (document, sequence)
+    // placement table a training-data writer consumes — global token
+    // offsets via a distributed prefix sum (range shuffle of 16-byte
+    // pairs + driver-side per-partition offsets), never a global window
+    "q_doc_pack" -> ((s, dir) =>
+      graft.text.Packing.concatChunk(t(s, dir, "documents"),
+        seqLen = 512L)),
+
     // benchmark decontamination: corpus docs sharing any word-3-gram with
     // the held-out "benchmark" slice (every 20th document — derived
     // deterministically from the same table so the oracle can re-derive
@@ -595,6 +610,91 @@ object SparkEntry {
         |  ELSE CAST(coalesce(cov.covered, 0) AS DOUBLE) / len(d.w)
         |  END AS coverage
         |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id""".stripMargin,
+
+    // every fraction is an integer-ratio double (mass/chars, covered/nt)
+    // so the cross-engine hash compare is bit-exact; grams are built with
+    // the same 1-based inclusive slice recipe as the span oracles
+    "q_doc_repetition" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |b AS (SELECT doc_id, w, len(w) AS nt,
+        |  CAST(length(array_to_string(w, ' ')) AS BIGINT) AS nc FROM d),
+        |g AS (SELECT b.doc_id, n.n, i.i,
+        |   array_to_string(b.w[i.i:i.i + n.n - 1], ' ') AS gram
+        |  FROM b, unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n(n),
+        |   unnest(generate_series(1, b.nt - n.n + 1)) AS i(i)
+        |  WHERE b.nt >= n.n),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt
+        |  FROM g GROUP BY 1, 2, 3),
+        |tp AS (SELECT doc_id,
+        |  max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS m2,
+        |  max(CASE WHEN n = 3 THEN cnt * length(gram) END) AS m3,
+        |  max(CASE WHEN n = 4 THEN cnt * length(gram) END) AS m4
+        | FROM c GROUP BY 1),
+        |dup AS (SELECT DISTINCT g.doc_id, g.n, p.p
+        |  FROM g JOIN c ON g.doc_id = c.doc_id AND g.n = c.n
+        |   AND g.gram = c.gram,
+        |   unnest(generate_series(g.i, g.i + g.n - 1)) AS p(p)
+        |  WHERE c.cnt >= 2 AND g.n >= 5),
+        |cv AS (SELECT doc_id,
+        |  count(CASE WHEN n = 5 THEN 1 END) AS c5,
+        |  count(CASE WHEN n = 6 THEN 1 END) AS c6,
+        |  count(CASE WHEN n = 7 THEN 1 END) AS c7,
+        |  count(CASE WHEN n = 8 THEN 1 END) AS c8,
+        |  count(CASE WHEN n = 9 THEN 1 END) AS c9,
+        |  count(CASE WHEN n = 10 THEN 1 END) AS c10
+        | FROM dup GROUP BY 1),
+        |f AS (SELECT b.doc_id, CAST(b.nt AS BIGINT) AS n_tokens,
+        |  b.nc AS n_chars,
+        |  CASE WHEN b.nc = 0 THEN 0.0
+        |   ELSE CAST(coalesce(tp.m2, 0) AS DOUBLE) / b.nc END AS top2_frac,
+        |  CASE WHEN b.nc = 0 THEN 0.0
+        |   ELSE CAST(coalesce(tp.m3, 0) AS DOUBLE) / b.nc END AS top3_frac,
+        |  CASE WHEN b.nc = 0 THEN 0.0
+        |   ELSE CAST(coalesce(tp.m4, 0) AS DOUBLE) / b.nc END AS top4_frac,
+        |  CASE WHEN b.nt = 0 THEN 0.0
+        |   ELSE CAST(coalesce(cv.c5, 0) AS DOUBLE) / b.nt END AS dup5_frac,
+        |  CASE WHEN b.nt = 0 THEN 0.0
+        |   ELSE CAST(coalesce(cv.c6, 0) AS DOUBLE) / b.nt END AS dup6_frac,
+        |  CASE WHEN b.nt = 0 THEN 0.0
+        |   ELSE CAST(coalesce(cv.c7, 0) AS DOUBLE) / b.nt END AS dup7_frac,
+        |  CASE WHEN b.nt = 0 THEN 0.0
+        |   ELSE CAST(coalesce(cv.c8, 0) AS DOUBLE) / b.nt END AS dup8_frac,
+        |  CASE WHEN b.nt = 0 THEN 0.0
+        |   ELSE CAST(coalesce(cv.c9, 0) AS DOUBLE) / b.nt END AS dup9_frac,
+        |  CASE WHEN b.nt = 0 THEN 0.0
+        |   ELSE CAST(coalesce(cv.c10, 0) AS DOUBLE) / b.nt END AS dup10_frac
+        | FROM b LEFT JOIN tp ON b.doc_id = tp.doc_id
+        |  LEFT JOIN cv ON b.doc_id = cv.doc_id)
+        |SELECT *,
+        | (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+        |  AND dup5_frac <= 0.15 AND dup6_frac <= 0.14 AND dup7_frac <= 0.13
+        |  AND dup8_frac <= 0.12 AND dup9_frac <= 0.11
+        |  AND dup10_frac <= 0.10) AS keep
+        |FROM f""".stripMargin,
+
+    // the window cumsum is the declarative twin of the engine's
+    // distributed prefix sum; DuckDB sum() OVER returns HUGEINT → cast
+    "q_doc_pack" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   END AS nt FROM documents),
+        |c AS (SELECT doc_id, nt,
+        |  CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS cstart
+        | FROM t WHERE nt > 0),
+        |x AS (SELECT doc_id, nt, cstart,
+        |  unnest(generate_series(cstart // 512, (cstart + nt - 1) // 512))
+        |   AS seq_id
+        | FROM c)
+        |SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+        | greatest(seq_id * 512 - cstart, 0) AS doc_offset,
+        | greatest(cstart - seq_id * 512, 0) AS seq_offset,
+        | least((seq_id + 1) * 512, cstart + nt)
+        |  - greatest(seq_id * 512, cstart) AS len
+        |FROM x""".stripMargin,
 
     // exact shingle-set Jaccard pairs: string shingles here are bijective
     // with the engine's chained-FNV shingle hashes (tokens contain no

@@ -1,0 +1,86 @@
+package graft.text
+
+import graft.core.SparkUtil
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Sequence packing for LM training: concatenate the corpus in a
+  * deterministic document order and cut it into fixed-length token
+  * sequences ("concat-and-chunk", the standard GPT/T5 example-packing
+  * recipe — zero padding except the final sequence; documents may
+  * straddle a boundary).
+  *
+  * The output is the PLACEMENT TABLE — one row per (document, sequence)
+  * overlap — which is what a training-data writer actually consumes
+  * (it tells each sequence which doc slices to concatenate):
+  *
+  *   seq_id      which fixed-length sequence
+  *   doc_id      source document
+  *   doc_offset  first token of the slice within the document
+  *   seq_offset  where the slice lands inside the sequence
+  *   len         slice length in tokens
+  *
+  * Scale shape: the global running offset is a DISTRIBUTED PREFIX SUM —
+  * range-repartition by doc_id (the one unavoidable shuffle, and it only
+  * moves 16-byte (doc_id, n_tokens) pairs, never text), per-partition
+  * totals collected to the driver (one long per partition — bounded by
+  * cluster size, not data size), prefix offsets broadcast back, then one
+  * embarrassingly-parallel pass assigns each document its global token
+  * offset. A window `sum() OVER (ORDER BY doc_id)` would express the same
+  * thing declaratively but Spark plans an un-partitioned global window =
+  * single task; the two-pass scan is the textbook fix. Everything after
+  * the offset is per-row arithmetic + a bounded explode (a document of
+  * n tokens lands in at most n/seqLen + 1 sequences).
+  */
+object Packing {
+
+  def concatChunk(documentsIn: DataFrame, seqLen: Long = 2048L,
+      parts: Int = 0): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = documentsIn.sparkSession
+    val docs = SparkUtil.spread(documentsIn)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    // range partitioning keeps doc_id order ACROSS partitions, so
+    // per-partition prefix offsets compose into the global order; the
+    // narrow sorted layout is consumed twice (totals, then placement) —
+    // materialize it once (Sort upstream → localCheckpoint)
+    val sorted = SparkUtil.materializeOnce(
+      docs.repartitionByRange(p, col("doc_id"))
+        .sortWithinPartitions("doc_id"))
+    val pairs = sorted.rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val totals = pairs.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val placedRdd = pairs.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets.value(pid)
+      it.map { case (id, nt) =>
+        val start = cum
+        cum += nt
+        Row(id, nt, start)
+      }
+    }
+    val placed = spark.createDataFrame(placedRdd, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("cstart", LongType, nullable = false))))
+    placed
+      .withColumn("seq_id", explode(expr(
+        s"sequence(cstart DIV ${seqLen}L, (cstart + n_tokens - 1) DIV ${seqLen}L)")))
+      .select(
+        col("seq_id"),
+        col("doc_id"),
+        greatest(col("seq_id") * seqLen - col("cstart"), lit(0L))
+          .as("doc_offset"),
+        greatest(col("cstart") - col("seq_id") * seqLen, lit(0L))
+          .as("seq_offset"),
+        (least((col("seq_id") + 1) * seqLen, col("cstart") + col("n_tokens"))
+          - greatest(col("seq_id") * seqLen, col("cstart"))).as("len"))
+  }
+}

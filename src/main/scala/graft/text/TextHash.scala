@@ -372,4 +372,92 @@ object TextHash extends Serializable {
     // formulation (and DuckDB's list_cosine_similarity oracle)
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  private def joinSlice(toks: Array[String], from: Int, n: Int): String = {
+    var len = n - 1
+    var i = from
+    while (i < from + n) { len += toks(i).length; i += 1 }
+    val sb = new java.lang.StringBuilder(len)
+    i = from
+    while (i < from + n) {
+      if (i > from) sb.append(' ')
+      sb.append(toks(i)); i += 1
+    }
+    sb.toString
+  }
+
+  /** Intra-document repetition statistics — the within-document
+    * repetition signals of the published LM data-quality methodology
+    * (Gopher's repetition filters, Rae et al. 2021 table A1), defined
+    * deterministically so the metric is exactly reproducible in ANSI SQL:
+    *
+    *  - for each n in `topNs`: the largest character mass any single word
+    *    n-gram accounts for, as a fraction of the normalized text length —
+    *    `max over grams g of count(g)·chars(g) / chars(text)` (chars of a
+    *    gram = its ' '-joined length; the max-of-product form needs no
+    *    most-frequent-gram tie-break, unlike the paper's informal
+    *    "fraction of characters in the most frequent n-gram").
+    *  - for each n in `dupNs`: the fraction of token positions covered by
+    *    at least one n-gram occurring ≥ 2 times within the document
+    *    (overlapping occurrences counted once — an exact interval union,
+    *    the paper's duplicate-n-gram character fraction on token
+    *    positions).
+    *
+    * Both are integer-ratio doubles (bit-exact cross-engine). Returns
+    * (nTokens, nCharsNormalized, topFracs aligned with `topNs`, dupFracs
+    * aligned with `dupNs`); documents shorter than n score 0.0 for that n.
+    */
+  def repetitionStats(text: String, topNs: Array[Int], dupNs: Array[Int])
+      : (Int, Long, Array[Double], Array[Double]) = {
+    val toks = tokens(text)
+    val nT = toks.length
+    var chars = 0L
+    var i = 0
+    while (i < nT) { chars += toks(i).length; i += 1 }
+    if (nT > 1) chars += nT - 1
+    val topFracs = topNs.map { n =>
+      if (nT < n || chars == 0L) 0.0
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        var best = 0L
+        var j = 0
+        while (j + n <= nT) {
+          val g = joinSlice(toks, j, n)
+          val c = counts.getOrDefault(g, 0) + 1
+          counts.put(g, c)
+          val mass = c.toLong * g.length
+          if (mass > best) best = mass
+          j += 1
+        }
+        best.toDouble / chars
+      }
+    }
+    val dupFracs = dupNs.map { n =>
+      if (nT < n || nT == 0) 0.0
+      else {
+        val grams = new Array[String](nT - n + 1)
+        val counts = new java.util.HashMap[String, Int]()
+        var j = 0
+        while (j + n <= nT) {
+          grams(j) = joinSlice(toks, j, n)
+          counts.put(grams(j), counts.getOrDefault(grams(j), 0) + 1)
+          j += 1
+        }
+        val covered = new Array[Boolean](nT)
+        j = 0
+        while (j + n <= nT) {
+          if (counts.get(grams(j)) >= 2) {
+            var p = j
+            while (p < j + n) { covered(p) = true; p += 1 }
+          }
+          j += 1
+        }
+        var c = 0
+        j = 0
+        while (j < nT) { if (covered(j)) c += 1; j += 1 }
+        c.toDouble / nT
+      }
+    }
+    (nT, chars, topFracs, dupFracs)
+  }
 }

@@ -83,4 +83,56 @@ object TextOps {
       qualityScore(col("text")).as("quality"),
       langId(col("text")).as("lang_pred"),
       fingerprint(col("text")).as("fingerprint"))
+
+  /** Gopher-style published thresholds (Rae et al. 2021 table A1): a
+    * document is removed when any repetition fraction exceeds its bound.
+    */
+  val gopherTopThresholds: Map[Int, Double] =
+    Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val gopherDupThresholds: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Per-document intra-document repetition metrics + keep decision — the
+    * Gopher repetition filter family (`TextHash.repetitionStats` for the
+    * exact metric definitions; line/paragraph variants don't apply to this
+    * corpus's single-line documents). Output: (doc_id, n_tokens, n_chars,
+    * top{n}_frac…, dup{n}_frac…, keep).
+    *
+    * Scale shape: entirely within-document — ONE map pass over the corpus
+    * with a single JIT'd kernel per row, NO shuffle anywhere (the ideal
+    * 100 TB plan; a declarative explode+groupBy formulation would shuffle
+    * k tokens per position per n). The kernel's single struct output is
+    * fanned out behind an `explode(array(…))` Generate barrier so
+    * CollapseProject cannot inline the UDF once per referenced field
+    * (Catalyst has no CSE across projections). All fractions are
+    * integer-ratio doubles, so the operator is exactly reproducible in
+    * ANSI SQL and DuckDB-oracled bit-for-bit.
+    */
+  def repetitionMetrics(documentsIn: DataFrame,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10),
+      topThresholds: Map[Int, Double] = gopherTopThresholds,
+      dupThresholds: Map[Int, Double] = gopherDupThresholds): DataFrame = {
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val topArr = topNs.toArray
+    val dupArr = dupNs.toArray
+    val kernel = udf((t: String) =>
+      TextHash.repetitionStats(t, topArr, dupArr))
+    val topCols = topNs.zipWithIndex.map { case (n, i) =>
+      element_at(col("r._3"), i + 1).as(s"top${n}_frac")
+    }
+    val dupCols = dupNs.zipWithIndex.map { case (n, i) =>
+      element_at(col("r._4"), i + 1).as(s"dup${n}_frac")
+    }
+    val keep = (topNs.flatMap(n => topThresholds.get(n).map(th =>
+        col(s"top${n}_frac") <= th)) ++
+      dupNs.flatMap(n => dupThresholds.get(n).map(th =>
+        col(s"dup${n}_frac") <= th)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    documents
+      .select(col("doc_id"), explode(array(kernel(col("text")))).as("r"))
+      .select(col("doc_id") +: col("r._1").cast("long").as("n_tokens") +:
+        col("r._2").as("n_chars") +: (topCols ++ dupCols): _*)
+      .withColumn("keep", keep)
+  }
 }

@@ -39,6 +39,7 @@ object Drive {
     if (sys.env.contains("DRIVE_RECONCILE")) { reconcileCheck(); return }
     if (sys.env.contains("DRIVE_CORPUS")) { corpusCheck(); return }
     if (sys.env.contains("DRIVE_SAMPLING")) { samplingCheck(); return }
+    if (sys.env.contains("DRIVE_REPPACK")) { repPackCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
     import graft.kg.KgPipeline
     import graft.ops.{MergeReconcile, TripleEmit}
@@ -400,6 +401,43 @@ object Drive {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     println(s"  cross-session sample identical: ${again == firstKept}")
     s2.stop()
+  }
+
+  /** Drive of the repetition-filter + sequence-packing operators at
+    * sf0.1: timings, keep-rate, packing invariants (full sequences,
+    * conservation of tokens), and shuffle/scan counts from the plans.
+    */
+  def repPackCheck(): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = session(32)
+    val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
+    val docs = graft.core.SparkUtil.spread(
+      s.read.parquet(s"$dir/documents.parquet"))
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val rep = graft.text.TextOps.repetitionMetrics(docs)
+    time("repetitionMetrics warm")(rep.count())
+    time("repetitionMetrics")(rep.count())
+    rep.agg(count(lit(1)).as("docs"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+      avg("dup10_frac").as("avg_dup10"),
+      avg("top2_frac").as("avg_top2")).show(truncate = false)
+    println("  exchanges in repetition plan: " + "Exchange".r.findAllIn(
+      rep.queryExecution.executedPlan.toString).length)
+    val pack = graft.text.Packing.concatChunk(docs, seqLen = 2048L)
+    time("concatChunk warm")(pack.count())
+    val n = time("concatChunk")(pack.count())
+    val seqs = pack.groupBy("seq_id").agg(sum("len").as("filled"))
+    val nSeq = seqs.count()
+    val full = seqs.filter(col("filled") === 2048L).count()
+    val toks = pack.agg(sum("len")).collect()(0).getLong(0)
+    println(s"  placements=$n sequences=$nSeq full=$full (all but last) " +
+      s"tokens=$toks")
+    println("  exchanges in pack plan: " + "Exchange".r.findAllIn(
+      pack.queryExecution.executedPlan.toString).length)
+    s.stop()
   }
 
   /** End-to-end smoke over the public API surfaces changed this round. */
