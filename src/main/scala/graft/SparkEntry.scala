@@ -174,6 +174,38 @@ object SparkEntry {
         .select("event_id", "user_id", "session_id")
     }),
 
+    // semi-structured columns: typed from_json extraction (Catalyst
+    // JsonToStructs, not string hacks) feeding a partial-agg rollup —
+    // the log-metadata parse every event pipeline runs before anything
+    "q_event_json_rollup" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))),
+
+    // PII scrub audit: emails/IPv4/phones → typed placeholders + counts.
+    // The corpus is synthetic and PII-free, so the query injects PII
+    // derived deterministically from doc_id (0-2 emails, an IP every 4th
+    // doc, a phone every 5th) — the oracle re-derives the same injection,
+    // mirroring the q_doc_decontaminate benchmark-derivation pattern
+    "q_doc_pii_redact" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pii = concat(col("text"),
+        expr("repeat(concat(' u', CAST(doc_id AS STRING), '@ex.com'), " +
+          "CAST(doc_id % 3 AS INT))"),
+        when(id % 4 === 0, concat(lit(" from 10."),
+          (id % 256).cast("string"), lit(".0."),
+          (id % 100).cast("string"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" call 555-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select(col("doc_id") +: graft.text.TextOps.redactPii(pii): _*)
+    }),
+
     // ---- connected components (§2.9) ----
     "q_cc_small" -> ((s, dir) => {
       val sup = t(s, dir, "supplier").select(
@@ -506,6 +538,44 @@ object SparkEntry {
         |SELECT event_id, user_id,
         | CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
         |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g""".stripMargin,
+
+    "q_event_json_rollup" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |  AS BIGINT) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_doc_pii_redact" ->
+      """WITH p AS (SELECT doc_id, text
+        | || repeat(' u' || CAST(doc_id AS VARCHAR) || '@ex.com',
+        |     CAST(doc_id % 3 AS INT))
+        | || CASE WHEN doc_id % 4 = 0 THEN ' from 10.'
+        |     || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+        |     || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        | || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+        |     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  AS pii FROM documents),
+        |r1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |   AS n_emails,
+        |  regexp_replace(pii,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+        |   AS t1 FROM p),
+        |r2 AS (SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(t1,
+        |   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        | FROM r1)
+        |SELECT doc_id,
+        | regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+        | n_emails, n_ips,
+        | CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b')) AS BIGINT)
+        |  AS n_phones
+        |FROM r2""".stripMargin,
 
     "q_cc_small" ->
       """WITH RECURSIVE e0 AS (

@@ -84,6 +84,30 @@ object TextOps {
       langId(col("text")).as("lang_pred"),
       fingerprint(col("text")).as("fingerprint"))
 
+  // PII patterns (the standard web-pipeline scrub set — C4/Dolma-style
+  // regex redaction): kept to syntax that means the same thing in Java
+  // regex (Spark) and RE2 (DuckDB) so the oracle is bit-exact
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scrub: replace emails / IPv4 addresses / phone-shaped numbers
+    * with typed placeholder tokens and count what was removed (the audit
+    * trail a curation pipeline keeps). Email runs first so its digits
+    * can't be re-matched; the three patterns are mutually non-overlapping
+    * after that. Pure codegen'd regexp columns — shuffle-free map pass.
+    */
+  def redactPii(text: Column): Seq[Column] = {
+    val n1 = size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+    val r1 = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val n2 = size(regexp_extract_all(r1, lit(Ipv4Pattern), lit(0)))
+    val r2 = regexp_replace(r1, Ipv4Pattern, "<IP>")
+    val n3 = size(regexp_extract_all(r2, lit(PhonePattern), lit(0)))
+    val r3 = regexp_replace(r2, PhonePattern, "<PHONE>")
+    Seq(r3.as("redacted"), n1.cast("long").as("n_emails"),
+      n2.cast("long").as("n_ips"), n3.cast("long").as("n_phones"))
+  }
+
   /** Gopher-style published thresholds (Rae et al. 2021 table A1): a
     * document is removed when any repetition fraction exceeds its bound.
     */
