@@ -327,6 +327,12 @@ object SparkEntry {
       graft.text.Packing.concatChunk(t(s, dir, "documents"),
         seqLen = 512L)),
 
+    // the assembled sequences (what the shard writer emits): placement
+    // join + one shuffle by seq_id, per-group state bounded by seqLen
+    "q_doc_pack_seqs" -> ((s, dir) =>
+      graft.text.Packing.materializeSequences(t(s, dir, "documents"),
+        seqLen = 512L)),
+
     // benchmark decontamination: corpus docs sharing any word-3-gram with
     // the held-out "benchmark" slice (every 20th document — derived
     // deterministically from the same table so the oracle can re-derive
@@ -765,6 +771,34 @@ object SparkEntry {
         | least((seq_id + 1) * 512, cstart + nt)
         |  - greatest(seq_id * 512, cstart) AS len
         |FROM x""".stripMargin,
+
+    "q_doc_pack_seqs" ->
+      """WITH t AS (SELECT doc_id,
+        |  regexp_split_to_array(trim(text), '\s+') AS w,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   END AS nt FROM documents),
+        |c AS (SELECT doc_id, w, nt,
+        |  CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |   AS cstart
+        | FROM t WHERE nt > 0),
+        |x AS (SELECT doc_id, w, nt, cstart,
+        |  unnest(generate_series(cstart // 512, (cstart + nt - 1) // 512))
+        |   AS seq_id
+        | FROM c),
+        |y AS (SELECT CAST(seq_id AS BIGINT) AS seq_id, w,
+        |  greatest(seq_id * 512 - cstart, 0) AS doc_offset,
+        |  greatest(cstart - seq_id * 512, 0) AS seq_offset,
+        |  least((seq_id + 1) * 512, cstart + nt)
+        |   - greatest(seq_id * 512, cstart) AS len
+        | FROM x)
+        |SELECT seq_id,
+        | string_agg(array_to_string(w[doc_offset + 1:doc_offset + len], ' '),
+        |  ' ' ORDER BY seq_offset) AS seq_text,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(len) AS BIGINT) AS n_tokens
+        |FROM y GROUP BY 1""".stripMargin,
 
     // exact shingle-set Jaccard pairs: string shingles here are bijective
     // with the engine's chained-FNV shingle hashes (tokens contain no

@@ -83,4 +83,37 @@ object Packing {
         (least((col("seq_id") + 1) * seqLen, col("cstart") + col("n_tokens"))
           - greatest(col("seq_id") * seqLen, col("cstart"))).as("len"))
   }
+
+  /** Assemble the packed sequences themselves: join the placement table
+    * back to the text, slice each document's tokens, and concatenate the
+    * slices in sequence order — what a training-shard writer emits (here
+    * as the ' '-joined token string plus doc/token counts per sequence).
+    *
+    * Scale shape: one co-partitioned hash join (placements × text on
+    * doc_id) and one shuffle by seq_id — the irreducible data movement of
+    * packing (every token changes grouping from document to sequence
+    * exactly once). Per-group state is bounded by seqLen tokens, so the
+    * aggregation never spills regardless of corpus size. Slice order
+    * inside a sequence is made deterministic with sort_array over
+    * (seq_offset, piece) structs — collect_list alone has no order
+    * guarantee after a shuffle.
+    */
+  def materializeSequences(documentsIn: DataFrame, seqLen: Long = 2048L,
+      parts: Int = 0): DataFrame = {
+    val docs = SparkUtil.spread(documentsIn)
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val placed = concatChunk(docs, seqLen, parts)
+    val sliced = placed.join(docs, "doc_id")
+      .select(col("seq_id"), col("seq_offset"), col("len"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"),
+          (col("doc_offset") + 1).cast("int"), col("len").cast("int")))
+          .as("piece"))
+    sliced.groupBy("seq_id").agg(
+      array_join(transform(
+        sort_array(collect_list(struct(col("seq_offset").as("o"),
+          col("piece").as("p")))),
+        x => x.getField("p")), " ").as("seq_text"),
+      count(lit(1)).as("n_docs"),
+      sum("len").as("n_tokens"))
+  }
 }

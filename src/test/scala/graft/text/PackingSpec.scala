@@ -35,6 +35,20 @@ class PackingSpec extends SparkSpec {
     assert(byDoc == Map(1L -> 3L, 2L -> 4L, 4L -> 5L))
   }
 
+  test("materializeSequences: assembled token streams in global order") {
+    val docs = Seq(
+      (1L, "t1 t2 t3"),
+      (2L, "u1 u2 u3 u4"),
+      (4L, "v1 v2 v3 v4 v5")
+    ).toDF("doc_id", "text")
+    val seqs = Packing.materializeSequences(docs, seqLen = 4L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(seqs == Seq(
+      (0L, "t1 t2 t3 u1", 2L, 4L),
+      (1L, "u2 u3 u4 v1", 2L, 4L),
+      (2L, "v2 v3 v4 v5", 1L, 4L)))
+  }
+
   test("partition-count invariance of the distributed prefix sum") {
     val docs = (1L to 97L)
       .map(i => (i, (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" ")))
