@@ -174,6 +174,21 @@ object SparkEntry {
         .select("event_id", "user_id", "session_id")
     }),
 
+    // tumbling-window rollup: epoch-aligned hourly buckets per event
+    // type — counts, distinct users, and exact min/max (sum(double)
+    // is order-dependent, so the oracle-facing stats stay exact)
+    "q_event_hourly" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts").cast("timestamp"), "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .select(unix_millis(col("window.start").cast("timestamp"))
+            .as("hour_ms"),
+          col("event_type"), col("n"), col("n_users"),
+          col("min_value"), col("max_value"))),
+
     // semi-structured columns: typed from_json extraction (Catalyst
     // JsonToStructs, not string hacks) feeding a partial-agg rollup —
     // the log-metadata parse every event pipeline runs before anything
@@ -318,6 +333,12 @@ object SparkEntry {
     // the published keep decision — one shuffle-free kernel pass
     "q_doc_repetition" -> ((s, dir) =>
       TextOps.repetitionMetrics(t(s, dir, "documents"))),
+
+    // Gopher lexical-quality rules (the non-repetition half of the
+    // published filter): word count, mean word length, alpha-word
+    // fraction, symbol ratio, stop-word hits + keep
+    "q_doc_gopher_quality" -> ((s, dir) =>
+      TextOps.gopherQuality(t(s, dir, "documents"))),
 
     // sequence packing (concat-and-chunk): the (document, sequence)
     // placement table a training-data writer consumes — global token
@@ -749,6 +770,51 @@ object SparkEntry {
         |  AND dup8_frac <= 0.12 AND dup9_frac <= 0.11
         |  AND dup10_frac <= 0.10) AS keep
         |FROM f""".stripMargin,
+
+    "q_doc_gopher_quality" ->
+      """WITH d AS (SELECT doc_id, text, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |b AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+        |   AS BIGINT) AS sumlen,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |   AS BIGINT) AS nalpha,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |   + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+        |   + CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT) AS symbols,
+        |  CAST(CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END
+        |   AS BIGINT) AS stop_hits
+        | FROM d),
+        |f AS (SELECT doc_id, n AS n_words,
+        |  CASE WHEN n = 0 THEN 0.0
+        |   ELSE CAST(sumlen AS DOUBLE) / n END AS mean_word_len,
+        |  CASE WHEN n = 0 THEN 0.0
+        |   ELSE CAST(nalpha AS DOUBLE) / n END AS frac_alpha,
+        |  CASE WHEN n = 0 THEN 0.0
+        |   ELSE CAST(symbols AS DOUBLE) / n END AS symbol_ratio,
+        |  stop_hits FROM b)
+        |SELECT *,
+        | (n_words >= 50 AND n_words <= 100000
+        |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |  AND frac_alpha >= 0.8 AND symbol_ratio <= 0.1
+        |  AND stop_hits >= 2) AS keep
+        |FROM f""".stripMargin,
+
+    "q_event_hourly" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // the window cumsum is the declarative twin of the engine's
     // distributed prefix sum; DuckDB sum() OVER returns HUGEINT → cast

@@ -386,6 +386,61 @@ object TextHash extends Serializable {
     sb.toString
   }
 
+  private val GopherStopWords =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher lexical-quality statistics (Rae et al. 2021 table A1, the
+    * non-repetition rules), exact integer-ratio doubles throughout:
+    * word count, mean word length, fraction of words containing an
+    * alphabetic character, symbol-to-word ratio (# and ellipsis), and
+    * how many of the 8 published stop words appear at least once.
+    */
+  def gopherQualityStats(text: String)
+      : (Int, Double, Double, Double, Int) = {
+    val toks = tokens(text)
+    val n = toks.length
+    if (n == 0) return (0, 0.0, 0.0, 0.0, 0)
+    var sumLen = 0L
+    var nAlpha = 0
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      sumLen += t.length
+      var j = 0
+      var alpha = false
+      while (j < t.length && !alpha) {
+        val c = t.charAt(j)
+        if (c >= 'a' && c <= 'z') alpha = true
+        j += 1
+      }
+      if (alpha) nAlpha += 1
+      i += 1
+    }
+    var symbols = 0L
+    i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '#' || c == '…') symbols += 1
+      else if (c == '.' && i + 2 < text.length && text.charAt(i + 1) == '.'
+          && text.charAt(i + 2) == '.') { symbols += 1; i += 2 }
+      i += 1
+    }
+    var stopHits = 0
+    var s = 0
+    while (s < GopherStopWords.length) {
+      var found = false
+      i = 0
+      while (i < n && !found) {
+        if (toks(i) == GopherStopWords(s)) found = true
+        i += 1
+      }
+      if (found) stopHits += 1
+      s += 1
+    }
+    (n, sumLen.toDouble / n, nAlpha.toDouble / n, symbols.toDouble / n,
+      stopHits)
+  }
+
   /** Intra-document repetition statistics — the within-document
     * repetition signals of the published LM data-quality methodology
     * (Gopher's repetition filters, Rae et al. 2021 table A1), defined

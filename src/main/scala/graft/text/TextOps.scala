@@ -108,6 +108,32 @@ object TextOps {
       n2.cast("long").as("n_ips"), n3.cast("long").as("n_phones"))
   }
 
+  /** Gopher lexical-quality filter (the non-repetition rules of Rae et
+    * al. 2021 table A1): word count in [minWords, maxWords], mean word
+    * length in [3, 10], ≥ 80% of words contain an alphabetic character,
+    * symbol-to-word ratio ≤ 0.1, and at least 2 of the 8 published stop
+    * words present. Same shuffle-free kernel-behind-explode shape as
+    * `repetitionMetrics`; all fractions integer-ratio doubles.
+    */
+  def gopherQuality(documentsIn: DataFrame, minWords: Long = 50L,
+      maxWords: Long = 100000L): DataFrame = {
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val kernel = udf((t: String) => TextHash.gopherQualityStats(t))
+    documents
+      .select(col("doc_id"), explode(array(kernel(col("text")))).as("r"))
+      .select(col("doc_id"),
+        col("r._1").cast("long").as("n_words"),
+        col("r._2").as("mean_word_len"),
+        col("r._3").as("frac_alpha"),
+        col("r._4").as("symbol_ratio"),
+        col("r._5").cast("long").as("stop_hits"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("frac_alpha") >= 0.8 && col("symbol_ratio") <= 0.1 &&
+        col("stop_hits") >= 2L)
+  }
+
   /** Gopher-style published thresholds (Rae et al. 2021 table A1): a
     * document is removed when any repetition fraction exceeds its bound.
     */
