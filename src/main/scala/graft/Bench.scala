@@ -23,7 +23,8 @@ object Bench {
     "q_doc_split", "q_doc_sample", "q_doc_split_leakfree",
     "q_doc_minhash_neardup", "q_doc_ngram_jaccard", "q_doc_dup_spans",
     "q_doc_span_coverage", "q_doc_repetition", "q_doc_gopher_quality",
-    "q_doc_pack", "q_doc_pack_seqs", "q_doc_pii_redact",
+    "q_doc_pack", "q_doc_pack_seqs", "q_doc_pack_bestfit",
+    "q_doc_pii_redact",
     "q_event_json_rollup", "q_event_hourly", "q_doc_decontaminate",
     "q_doc_decontaminate_bloom", "q_doc_top_ngrams",
     "q_doc_tfidf", "q_doc_vocab", "q_doc_source_stats",

@@ -354,6 +354,14 @@ object SparkEntry {
       graft.text.Packing.materializeSequences(t(s, dir, "documents"),
         seqLen = 512L)),
 
+    // non-straddling arm (rows-only: greedy best-fit-decreasing is not
+    // SQL-expressible; invariants + efficiency witnessed at sf0.01 in
+    // TestdataWitnessSpec). parts fixed so bin ids are deterministic
+    // across sessions/parallelism
+    "q_doc_pack_bestfit" -> ((s, dir) =>
+      graft.text.Packing.bestFitBins(t(s, dir, "documents"),
+        seqLen = 512L, parts = 8)),
+
     // benchmark decontamination: corpus docs sharing any word-3-gram with
     // the held-out "benchmark" slice (every 20th document — derived
     // deterministically from the same table so the oracle can re-derive

@@ -176,4 +176,39 @@ class TestdataWitnessSpec extends SparkSpec {
     assert(out.filter(_._4 == 1).map(r => (r._1, r._2)).toSeq ==
       Seq((0L, 423L), (1L, 407L), (2L, 450L), (3L, 130L), (4L, 257L)))
   }
+
+  test("q_doc_pack_bestfit @ sf0.01: non-straddling invariants, exact " +
+      "doc cover, near-optimal fill") {
+    assume(has("documents"))
+    import graft.text.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val expected = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      .filter(col("nt") > 0)
+      .as[(Long, Long)].collect().toMap
+    val out = SparkEntry.queries("q_doc_pack_bestfit")(spark, sfDir)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // every non-empty doc placed exactly once with its exact token count
+    assert(out.map(_._2).sorted == expected.keys.toSeq.sorted)
+    assert(out.forall(d => d._3 == expected(d._2)))
+    // truncated ⟺ longer than seqLen
+    assert(out.forall(d => d._5 == (d._3 > 512L)))
+    // bins: contiguous offsets, capacity respected (truncated docs alone)
+    out.groupBy(_._1).foreach { case (_, ds) =>
+      val s = ds.sortBy(_._4)
+      assert(s.head._4 == 0L)
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 == a._4 + a._3)
+        case _ =>
+      }
+      if (s.exists(_._5)) assert(s.length == 1)
+      else assert(s.last._4 + s.last._3 <= 512L)
+    }
+    // near-optimal: bins within 15% of the token-mass lower bound
+    val packable = out.filter(!_._5)
+    val lower = (packable.map(_._3).sum + 511L) / 512L
+    val bins = packable.map(_._1).distinct.size
+    assert(bins <= lower * 1.15 + 2, s"bins=$bins lower=$lower")
+  }
 }

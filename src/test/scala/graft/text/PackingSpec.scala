@@ -49,6 +49,54 @@ class PackingSpec extends SparkSpec {
       (2L, "v2 v3 v4 v5", 1L, 4L)))
   }
 
+  test("bestFitBins: non-straddling invariants + tight packing") {
+    val docs = (1L to 200L)
+      .map(i => (i, (1 to (i % 13 + 1).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Packing.bestFitBins(docs, seqLen = 16L, parts = 2)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    // every doc placed exactly once, nothing truncated (max 13 < 16)
+    assert(out.map(_._2).sorted == (1L to 200L))
+    assert(out.forall(!_._5))
+    // per bin: fills disjoint and within capacity, offsets consistent
+    out.groupBy(_._1).foreach { case (_, ds) =>
+      val s = ds.sortBy(_._4)
+      assert(s.head._4 == 0L)
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 == a._4 + a._3)
+        case _ =>
+      }
+      assert(s.last._4 + s.last._3 <= 16L)
+    }
+    // BFD should pack tightly: total bins close to ceil(total/16)
+    val total = out.map(_._3).sum
+    val lowerBound = (total + 15) / 16
+    val bins = out.map(_._1).distinct.size
+    assert(bins <= lowerBound * 1.15 + 2,
+      s"bins=$bins lower=$lowerBound")
+    // deterministic for a fixed partition count
+    val again = Packing.bestFitBins(docs, seqLen = 16L, parts = 2)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(again.toSet == out.toSet)
+  }
+
+  test("bestFitBins: oversized docs get their own truncated bin") {
+    val docs = Seq(
+      (1L, (1 to 20).map(j => s"w$j").mkString(" ")), // > seqLen
+      (2L, (1 to 16).map(j => s"w$j").mkString(" ")), // == seqLen
+      (3L, "a b c")
+    ).toDF("doc_id", "text")
+    val out = Packing.bestFitBins(docs, seqLen = 16L, parts = 1)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    val byDoc = out.map(d => d._2 -> d).toMap
+    assert(byDoc(1L)._5 && byDoc(1L)._4 == 0L)
+    assert(!byDoc(2L)._5 && byDoc(2L)._4 == 0L)
+    assert(!byDoc(3L)._5)
+    // docs 1 and 2 are alone in their bins
+    assert(out.filter(_._2 <= 2L).map(_._1)
+      .forall(b => out.count(_._1 == b) == 1))
+  }
+
   test("partition-count invariance of the distributed prefix sum") {
     val docs = (1L to 97L)
       .map(i => (i, (1 to (i % 7 + 1).toInt).map(j => s"w$j").mkString(" ")))
