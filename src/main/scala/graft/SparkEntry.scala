@@ -398,6 +398,15 @@ object SparkEntry {
       Sampling.hashSample(t(s, dir, "documents"), fraction = 0.1)
         .select("doc_id")),
 
+    // source-mix sampling (data-mixing weights): per-source keep
+    // fractions via the same md5 cut — nested kept-sets per stratum,
+    // strata independent; pure shuffle-free projection
+    "q_doc_mix_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFraction = 0.1)
+        .select("doc_id", "source")),
+
     // leakage-safe split: simhash near-dup clusters (CC over the pair
     // graph) assigned as units by their canonical member's hash —
     // rows-only (CC is not SQL-expressible); witnessed in
@@ -935,6 +944,14 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'),
         |  1, 8))::UBIGINT AS BIGINT) < 429496729""".stripMargin,
+
+    "q_doc_mix_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'),
+        |  1, 8))::UBIGINT AS BIGINT)
+        | < CASE source WHEN 'src0' THEN 4294967296
+        |    WHEN 'src1' THEN 2147483648 WHEN 'src2' THEN 1073741824
+        |    ELSE 429496729 END""".stripMargin,
 
     // same marker counts + CASE as q_doc_lang, aggregated; avg is one
     // IEEE division of exact integers (bit-identical cross-engine)

@@ -83,6 +83,32 @@ object Sampling {
         .otherwise("test").as("split"))
   }
 
+  /** Source-mix sampling — the "data mixing" step that turns per-source
+    * weights (wiki × 3 epochs worth, common-crawl × 0.3, …, capped at 1.0
+    * here: up-sampling is repetition, a writer concern) into a
+    * deterministic kept-set. Each stratum keeps the rows whose (id, salt)
+    * hash falls under its own fraction, so (a) kept sets are NESTED as a
+    * stratum's fraction grows — raising web from 0.3 to 0.4 only ADDS
+    * documents, it never swaps them — and (b) strata are independent:
+    * retuning one source's weight leaves every other source's kept-set
+    * untouched. Still a pure shuffle-free projection (the fraction→cut
+    * CASE chain is codegen'd; for thousands of strata broadcast-join a
+    * fraction dimension instead).
+    */
+  def stratifiedSample(df: DataFrame, fractions: Map[String, Double],
+      strataCol: String = "source", idCol: String = "doc_id",
+      defaultFraction: Double = 0.0, salt: String = "v1"): DataFrame = {
+    (fractions.values ++ Seq(defaultFraction)).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction must be in [0,1], got $f"))
+    def cutOf(f: Double) = lit((f * 4294967296.0).toLong)
+    // sorted for a deterministic expression tree (Map order is not)
+    val cut = fractions.toSeq.sortBy(_._1)
+      .foldLeft(cutOf(defaultFraction): Column) { case (acc, (k, f)) =>
+        when(col(strataCol) === k, cutOf(f)).otherwise(acc)
+      }
+    df.filter(bucketHash(col(idCol), salt) < cut)
+  }
+
   /** Deterministic subsample at full 32-bit granularity: keep rows whose
     * hash falls under fraction × 2^32. Unlike `df.sample` (seeded RNG over
     * a partition iterator — resolution-dependent and engine-private), the

@@ -62,6 +62,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, 1.0).count() == 10000)
   }
 
+  test("stratifiedSample: per-stratum fractions, nested and independent") {
+    val docs = (0L until 9000L)
+      .map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    def keptSet(fr: Map[String, Double]) =
+      Sampling.stratifiedSample(docs, fr, defaultFraction = 0.0)
+        .as[(Long, String)].collect().toSet
+    val base = keptSet(Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0))
+    val bySrc = base.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc.getOrElse("src0", 0) == 3000)     // fraction 1.0 exact
+    assert(math.abs(bySrc.getOrElse("src1", 0) - 1500) < 120)
+    assert(!bySrc.contains("src2"))                 // fraction 0.0 exact
+    // raising one stratum's fraction only ADDS rows of that stratum
+    val more = keptSet(Map("src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.0))
+    assert(base.subsetOf(more))
+    assert((more -- base).forall(_._2 == "src1"))
+    // the kept subset of a stratum equals hashSample at the same fraction
+    val solo = Sampling.hashSample(docs.filter(col("source") === "src1"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(base.filter(_._2 == "src1").map(_._1) == solo)
+    // default fraction drives unlisted strata
+    val dflt = keptSet(Map("src0" -> 0.0, "src1" -> 0.0)) // src2 → default 0
+    assert(dflt.isEmpty)
+  }
+
   test("leakageSafeSplit: clusters move as units, singletons match " +
       "assignSplit, transitive chains stay together") {
     val docs = (0L until 100L).toDF("doc_id")
