@@ -24,6 +24,7 @@ object Bench {
     "q_doc_split_leakfree",
     "q_doc_minhash_neardup", "q_doc_ngram_jaccard", "q_doc_dup_spans",
     "q_doc_span_coverage", "q_doc_repetition", "q_doc_gopher_quality",
+    "q_doc_token_freq",
     "q_doc_pack", "q_doc_pack_seqs", "q_doc_pack_bestfit",
     "q_doc_pii_redact",
     "q_event_json_rollup", "q_event_hourly", "q_doc_decontaminate",

@@ -334,6 +334,13 @@ object SparkEntry {
     "q_doc_repetition" -> ((s, dir) =>
       TextOps.repetitionMetrics(t(s, dir, "documents"))),
 
+    // corpus-statistics quality score: mean corpus frequency of each
+    // document's tokens — the integer-ratio unigram-LM stand-in (log()
+    // is not bit-exact cross-engine); vocab derives from the same
+    // explode it scores
+    "q_doc_token_freq" -> ((s, dir) =>
+      CorpusStats.tokenFreqScore(t(s, dir, "documents"))),
+
     // Gopher lexical-quality rules (the non-repetition half of the
     // published filter): word count, mean word length, alpha-word
     // fraction, symbol ratio, stop-word hits + keep
@@ -787,6 +794,17 @@ object SparkEntry {
         |  AND dup8_frac <= 0.12 AND dup9_frac <= 0.11
         |  AND dup10_frac <= 0.10) AS keep
         |FROM f""".stripMargin,
+
+    "q_doc_token_freq" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0)) AS term FROM documents),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS freq
+        |  FROM tok GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        | CAST(sum(freq) AS BIGINT) AS sum_freq,
+        | CAST(sum(freq) AS DOUBLE) / count(*) AS mean_token_freq
+        |FROM tok JOIN f USING (term) GROUP BY 1""".stripMargin,
 
     "q_doc_gopher_quality" ->
       """WITH d AS (SELECT doc_id, text, list_filter(

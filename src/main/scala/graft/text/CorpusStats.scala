@@ -153,4 +153,31 @@ object CorpusStats {
       .withColumn("dup_rate",
         lit(1.0) - col("distinct_fingerprints").cast("double") / col("n_docs"))
   }
+
+  /** Corpus-statistics quality score: each document's mean corpus
+    * frequency of its tokens (total occurrences across the corpus,
+    * averaged over the document's token positions). The integer-ratio
+    * stand-in for a unigram-LM score — documents of common,
+    * well-distributed words score high; gibberish and boilerplate-ID
+    * strings score near 1 — chosen over mean log-probability because
+    * log()'s last ulp differs across engines while sum(freq)/n
+    * hash-compares exactly.
+    *
+    * Scale shape: the unigram table derives from the same token explode
+    * it scores with (one pass, one groupBy(term)); the score join is
+    * token→freq on the term key — Zipf makes the vocab side small enough
+    * to broadcast in practice, and the per-doc partial agg collapses the
+    * exploded rows straight back down.
+    */
+  def tokenFreqScore(documentsIn: DataFrame): DataFrame = {
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val tok = graft.core.SparkUtil.materializeOnce(
+      documents.select(col("doc_id"), explode(toks(col("text"))).as("term")))
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("freq"))
+    tok.join(freq, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("freq").as("sum_freq"))
+      .withColumn("mean_token_freq",
+        col("sum_freq").cast("double") / col("n_tokens"))
+  }
 }

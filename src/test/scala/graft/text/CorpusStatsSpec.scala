@@ -21,6 +21,15 @@ class CorpusStatsSpec extends SparkSpec {
     assert(top == Seq(("a b c", 3L), ("b c a", 1L)))
   }
 
+  test("tokenFreqScore: mean corpus frequency, exact integer ratios") {
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.tokenFreqScore(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // freq: a=2, b=2, c=1; doc1 = (2+2+2)/3, doc2 = (2+1)/2; blank absent
+    assert(out == Seq((1L, 3L, 6L, 2.0), (2L, 2L, 3L, 1.5)))
+  }
+
   test("tfidf: score = tf*N/df, ties break on term, rank per doc") {
     val docs = Seq(
       (1L, "apple apple banana"),
