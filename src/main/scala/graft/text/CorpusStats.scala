@@ -171,8 +171,13 @@ object CorpusStats {
     */
   def tokenFreqScore(documentsIn: DataFrame): DataFrame = {
     val documents = graft.core.SparkUtil.spread(documentsIn)
-    val tok = graft.core.SparkUtil.materializeOnce(
-      documents.select(col("doc_id"), explode(toks(col("text"))).as("term")))
+    // explicit checkpoint: the explode is a Project in the UNANALYZED
+    // logical plan (Generate appears only after analysis), so
+    // materializeOnce's node heuristic cannot see it — without the
+    // boundary the scan+explode re-executes on both join branches
+    val tok = documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .localCheckpoint(true)
     val freq = tok.groupBy("term").agg(count(lit(1)).as("freq"))
     tok.join(freq, "term")
       .groupBy("doc_id")
