@@ -134,6 +134,40 @@ object TextOps {
         col("stop_hits") >= 2L)
   }
 
+  /** Column form of the Gopher lexical keep rule — a single boolean per
+    * row (one kernel call, no metric fanout), usable in plain filters and
+    * in Structured Streaming where the metrics-table forms can't join
+    * back without stream-stream state.
+    */
+  def gopherKeepCol(text: Column, minWords: Long = 50L,
+      maxWords: Long = 100000L, minStopHits: Int = 2): Column = {
+    val kernel = udf { (t: String) =>
+      val (n, mean, alpha, sym, stop) = TextHash.gopherQualityStats(t)
+      n >= minWords && n <= maxWords && mean >= 3.0 && mean <= 10.0 &&
+        alpha >= 0.8 && sym <= 0.1 && stop >= minStopHits
+    }
+    kernel(text)
+  }
+
+  /** Column form of the Gopher repetition keep rule (see
+    * `repetitionMetrics` for the metric definitions). */
+  def repetitionKeepCol(text: Column): Column = {
+    val topNs = gopherTopThresholds.keys.toArray.sorted
+    val dupNs = gopherDupThresholds.keys.toArray.sorted
+    val topTh = topNs.map(gopherTopThresholds)
+    val dupTh = dupNs.map(gopherDupThresholds)
+    val kernel = udf { (t: String) =>
+      val (_, _, top, dup) = TextHash.repetitionStats(t, topNs, dupNs)
+      var ok = true
+      var i = 0
+      while (i < top.length && ok) { ok = top(i) <= topTh(i); i += 1 }
+      i = 0
+      while (i < dup.length && ok) { ok = dup(i) <= dupTh(i); i += 1 }
+      ok
+    }
+    kernel(text)
+  }
+
   /** Gopher-style published thresholds (Rae et al. 2021 table A1): a
     * document is removed when any repetition fraction exceeds its bound.
     */

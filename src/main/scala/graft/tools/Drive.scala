@@ -32,6 +32,7 @@ object Drive {
   def main(args: Array[String]): Unit = {
     if (sys.env.contains("DRIVE_SMOKE")) { smoke(); return }
     if (sys.env.contains("DRIVE_STREAM")) { streamCheck(); return }
+    if (sys.env.contains("DRIVE_DOCSTREAM")) { docStreamCheck(); return }
     if (sys.env.contains("DRIVE_IVF")) { ivfCheck(); return }
     if (sys.env.contains("DRIVE_NGRAM")) { ngramCheck(); return }
     if (sys.env.contains("DRIVE_EXPR")) { exprCheck(); return }
@@ -184,6 +185,42 @@ object Drive {
     println(s"stateful sessions=${a.count()} window sessions=${b.count()}")
     a.show(10, truncate = false)
     b.show(10, truncate = false)
+    s.stop()
+  }
+
+  /** End-to-end drive of the streaming document-curation tier: three
+    * file drops at maxFilesPerTrigger=1 → gopher + repetition gates +
+    * PII scrub → memory sink; prints per-batch progress and the
+    * batch-parity check on the same rows.
+    */
+  def docStreamCheck(): Unit = {
+    import graft.streaming.DocStream
+    import graft.text.TextOps
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val s = session(4)
+    val base = java.nio.file.Files.createTempDirectory("drivedoc").toString
+    val in = s"$base/in"
+    val docs = s.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (0 until 3).foreach(i => docs.filter(col("doc_id") % 3 === i)
+      .coalesce(1).write.mode("append").parquet(in))
+    val q = DocStream.curate(DocStream.readDocumentStream(s, in),
+        minWords = 10L, minStopHits = 0)
+      .writeStream.format("memory").queryName("drv_curate")
+      .outputMode("append").option("checkpointLocation", s"$base/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    println(s"micro-batches=${q.recentProgress.count(_.numInputRows > 0)}")
+    val streamed = s.sql("SELECT * FROM drv_curate")
+    streamed.show(3, truncate = 60)
+    val batch = docs.filter(TextOps.gopherKeepCol(col("text"),
+        minWords = 10L, minStopHits = 0) &&
+      TextOps.repetitionKeepCol(col("text")))
+      .select(col("doc_id") +: col("source") +:
+        TextOps.redactPii(col("text")): _*)
+    println(s"in=${docs.count()} streamed=${streamed.count()} " +
+      s"batch=${batch.count()} parity=${
+        streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty}")
     s.stop()
   }
 
