@@ -316,6 +316,17 @@ object SparkEntry {
       Dedup.ngramJaccardNearDups(t(s, dir, "documents"), k = 3,
         threshold = 0.5)),
 
+    // the complete dedup decision: near-dup pairs → connected-component
+    // clusters → keep the min doc_id per cluster; driven by the n-gram
+    // Jaccard pairs because that pair generator is ANSI-SQL-expressible,
+    // so the whole flow (including the transitive closure, as a
+    // recursive CTE) is oracle-checked end-to-end
+    "q_doc_neardup_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupDedup(docs,
+        Dedup.ngramJaccardNearDups(docs, k = 3, threshold = 0.5))
+    }),
+
     // repeated-span detection (substring-dedup primitive): word-10-gram
     // spans occurring in ≥ 2 distinct documents, exact counts — the
     // string-group oracle arm; hashOnly = true is the 8-byte-key scale arm
@@ -923,6 +934,38 @@ object SparkEntry {
         |FROM ip JOIN sz na ON ip.doc_a = na.doc_id
         | JOIN sz nb ON ip.doc_b = nb.doc_id
         |WHERE CAST(ip.i AS DOUBLE) / (na.n + nb.n - ip.i) >= 0.5""".stripMargin,
+
+    "q_doc_neardup_dedup" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |s0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+        | FROM d WHERE len(w) > 0),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  array_to_string(w[i:least(i + 2, len(w))], ' ') AS s FROM s0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |p AS (SELECT ip.doc_a, ip.doc_b
+        | FROM ip JOIN sz na ON ip.doc_a = na.doc_id
+        |  JOIN sz nb ON ip.doc_b = nb.doc_id
+        | WHERE CAST(ip.i AS DOUBLE) / (na.n + nb.n - ip.i) >= 0.5),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM p
+        | UNION SELECT doc_b, doc_a FROM p),
+        |reach(node, comp) AS (
+        | SELECT a, a FROM und
+        | UNION
+        | SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node),
+        |lab AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |alld AS (SELECT dd.doc_id, coalesce(l.comp, dd.doc_id) AS cluster
+        | FROM documents dd LEFT JOIN lab l ON l.node = dd.doc_id),
+        |szc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        | FROM alld GROUP BY 1)
+        |SELECT a.doc_id, a.cluster, s.n_members,
+        | a.doc_id = a.cluster AS keep
+        |FROM alld a JOIN szc s ON a.cluster = s.cluster""".stripMargin,
 
     // contamination counts over DISTINCT shingle sets (same tokenizer +
     // short-doc whole-text fallback as the jaccard oracle); benchmark =

@@ -602,4 +602,38 @@ object Dedup {
     val loser = dups.select(col("doc_b").as("doc_id")).distinct()
     documents.join(loser, Seq("doc_id"), "left_anti")
   }
+
+  /** The complete near-dup deduplication decision over a pair list:
+    * cluster the pairs with connected components, label EVERY document
+    * with its cluster (documents in no pair are their own singleton
+    * cluster), and keep the minimum doc_id of each cluster as its
+    * representative. This is the flow a training-data pipeline actually
+    * applies downstream of any pair generator (minhash / simhash /
+    * n-gram Jaccard): transitive closure first — unlike `survivors`'
+    * anti-join, a chain a~b, b~c keeps only a, never both endpoints.
+    *
+    * Scale shape: `pairs` is the near-dup subset — tiny relative to the
+    * corpus — so CC iterates over the small edge set only, the
+    * cluster-size aggregate stays on CC's output, and the final label
+    * attach is a broadcast left join onto the corpus: the corpus itself
+    * is never shuffled.
+    *
+    * @param pairs near-dup pairs with `doc_a` < `doc_b` columns
+    * @return one row per input document:
+    *         (doc_id, cluster, n_members, keep)
+    */
+  def nearDupDedup(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val labels = graft.graph.Components.connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("comp").as("cluster"))
+    val sizes = labels.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"))
+    val labeled = labels.join(sizes, "cluster")
+    val cluster = coalesce(col("cluster"), col("doc_id"))
+    documents.select(col("doc_id"))
+      .join(broadcast(labeled), Seq("doc_id"), "left")
+      .select(col("doc_id"), cluster.as("cluster"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"),
+        (cluster === col("doc_id")).as("keep"))
+  }
 }

@@ -323,4 +323,45 @@ class DedupSpec extends SparkSpec {
     val losers = dups.select("doc_b").distinct().count()
     assert(kept.count() == docsDf.count() - losers)
   }
+
+  test("nearDupDedup: transitive clusters, min-id representative, " +
+      "singletons kept, chains collapse to ONE representative") {
+    // chain 1~2, 2~3 plus isolated pair 10~11: transitive closure must
+    // put 1,2,3 in ONE cluster (survivors' anti-join would keep 3)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val ids = (1L to 5L) ++ Seq(10L, 11L)
+    val docsAll = ids.map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val got = Dedup.nearDupDedup(docsAll, pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got.size == ids.size) // one row per document, always
+    assert(got(1L) == ((1L, 3L, true)))
+    assert(got(2L) == ((1L, 3L, false)))
+    assert(got(3L) == ((1L, 3L, false)))
+    assert(got(4L) == ((4L, 1L, true))) // singleton: own cluster, kept
+    assert(got(5L) == ((5L, 1L, true)))
+    assert(got(10L) == ((10L, 2L, true)))
+    assert(got(11L) == ((10L, 2L, false)))
+    // exactly one representative per cluster
+    val perCluster = got.values.groupBy(_._1)
+      .map { case (_, vs) => vs.count(_._3) }
+    assert(perCluster.forall(_ == 1))
+  }
+
+  test("nearDupDedup over real pair generators: every pair co-clustered, " +
+      "kept set = distinct cluster ids, corpus join is broadcast") {
+    val pairs = Dedup.ngramJaccardNearDups(docsDf, k = 3, threshold = 0.5)
+    val labeled = Dedup.nearDupDedup(docsDf, pairs)
+    val lab = labeled.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.select("doc_a", "doc_b").collect().foreach { r =>
+      assert(lab(r.getLong(0)) == lab(r.getLong(1)),
+        s"pair ${r.getLong(0)}~${r.getLong(1)} split across clusters")
+    }
+    assert(labeled.filter(col("keep")).count() ==
+      labeled.select("cluster").distinct().count())
+    assert(labeled.count() == docsDf.count())
+    assert(labeled.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+  }
 }
