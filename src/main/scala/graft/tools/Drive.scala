@@ -221,6 +221,17 @@ object Drive {
     println(s"in=${docs.count()} streamed=${streamed.count()} " +
       s"batch=${batch.count()} parity=${
         streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty}")
+    // streaming near-dup pairs over the same drops (bounded drain mode)
+    val nd = DocStream.nearDupPairStream(
+        DocStream.readDocumentStream(s, in).select("doc_id", "text"),
+        threshold = 0.5, stateTtlMs = 0L)
+      .writeStream.format("memory").queryName("drv_neardup")
+      .outputMode("append").option("checkpointLocation", s"$base/cpnd")
+      .trigger(Trigger.AvailableNow()).start()
+    nd.awaitTermination(120000)
+    val pairs = s.sql("SELECT * FROM drv_neardup")
+    println(s"near-dup pairs streamed=${pairs.count()}")
+    pairs.orderBy(col("est_jaccard").desc).show(5, truncate = false)
     s.stop()
   }
 

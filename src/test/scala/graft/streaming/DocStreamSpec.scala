@@ -49,4 +49,74 @@ class DocStreamSpec extends SparkSpec {
     // the gate actually gates: some documents are dropped
     assert(streamed.size < docs.count())
   }
+
+  test("nearDupPairStream: cross-batch near-dups found, pairs equal the " +
+      "batch estimator replica, exact copies estimate 1.0") {
+    import graft.text.TextHash
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+    def base(i: Int): String = (0 until 40).map(j =>
+      words((TextHash.mix(i.toLong, j.toLong) % 12).toInt.abs)).mkString(" ")
+    val originals = (0 until 20).map(i => (i.toLong, base(i)))
+    val nearCopies = (0 until 6).map { i =>
+      val toks = base(i).split(" ").toVector
+      (100L + i, toks.updated(20, "changed").mkString(" "))
+    }
+    val exactCopies = (0 until 3).map(i => (200L + i, base(i)))
+    val all = originals ++ nearCopies ++ exactCopies
+
+    val base0 = java.nio.file.Files.createTempDirectory("neardupstream")
+      .toString
+    val in = s"$base0/in"
+    // originals land in batch 1; all copies arrive LATER — every planted
+    // pair crosses a micro-batch boundary, so finding them proves the
+    // state actually persists across batches
+    originals.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+    (nearCopies ++ exactCopies).toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(in)
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    // stateTtlMs = 0 → NoTimeout: a bounded drain terminates by itself
+    // (the TTL'd default obliges continuous batch scheduling)
+    val q = DocStream.nearDupPairStream(stream, threshold = 0.5,
+        stateTtlMs = 0L)
+      .writeStream.format("memory").queryName("neardup_pairs")
+      .outputMode("append")
+      .option("checkpointLocation", s"$base0/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.sql(
+        "SELECT doc_a, doc_b, est_jaccard FROM neardup_pairs")
+      .as[(Long, Long, Double)].collect()
+    assert(streamed.map(p => (p._1, p._2)).toSet.size == streamed.length,
+      "cross-band repeats must be deduped")
+
+    // batch replica of the same banding + signature-estimate verdict
+    val docs = all.toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"),
+        graft.dedup.Dedup.minhashSignature(col("text")).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val banded = docs.select(col("doc_id"),
+        graft.dedup.Dedup.minhashSignature(col("text")).as("sig"))
+      .withColumn("band", explode(sequence(lit(0), lit(7))))
+      .withColumn("bucket", xxhash64(col("band"),
+        array_join(slice(col("sig"), col("band") * 4 + 1, lit(4)), ",")))
+      .select("doc_id", "bucket").as[(Long, Long)].collect()
+    val expected = (for {
+      Seq((a, ba), (b, bb)) <- banded.toSeq.combinations(2)
+      if ba == bb && a != b
+      est = sigs(math.min(a, b)).zip(sigs(math.max(a, b)))
+        .count { case (x, y) => x == y } / 32.0
+      if est >= 0.5
+    } yield (math.min(a, b), math.max(a, b), est)).toSet
+    assert(streamed.toSet == expected)
+    // every exact copy pairs with its original at estimate exactly 1.0
+    (0 until 3).foreach { i =>
+      assert(streamed.contains((i.toLong, 200L + i, 1.0)),
+        s"exact copy $i missing")
+    }
+  }
 }
