@@ -416,6 +416,19 @@ object SparkEntry {
       Sampling.hashSample(t(s, dir, "documents"), fraction = 0.1)
         .select("doc_id")),
 
+    // importance sampling: keep probability proportional to token count
+    // (capped at 512 — length-proportional weights approximate
+    // uniform-over-tokens sampling); same md5 hash point as hashSample,
+    // so the kept set is monotone in the weight and bit-reproducible
+    "q_doc_importance_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nTok = TextOps.tokenCount(col("text")).cast("long")
+      Sampling.importanceSample(
+          docs.select(col("doc_id"), nTok.as("n_tokens")),
+          weight = least(col("n_tokens"), lit(512L)).cast("double") / 512.0)
+        .select("doc_id", "n_tokens")
+    }),
+
     // source-mix sampling (data-mixing weights): per-source keep
     // fractions via the same md5 cut — nested kept-sets per stratum,
     // strata independent; pure shuffle-free projection
@@ -1005,6 +1018,17 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'),
         |  1, 8))::UBIGINT AS BIGINT) < 429496729""".stripMargin,
+
+    "q_doc_importance_sample" ->
+      """WITH tc AS (SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |  END AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens FROM tc
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'),
+        |   1, 8))::UBIGINT AS DOUBLE)
+        |  < least(greatest(CAST(least(n_tokens, 512) AS DOUBLE) / 512.0,
+        |     0.0), 1.0) * 4294967296.0""".stripMargin,
 
     "q_doc_mix_sample" ->
       """SELECT doc_id, source FROM documents

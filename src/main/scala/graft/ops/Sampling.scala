@@ -109,6 +109,29 @@ object Sampling {
     df.filter(bucketHash(col(idCol), salt) < cut)
   }
 
+  /** Importance sampling: keep each row with probability `weight` (a
+    * per-row column in [0, 1], clamped), decided by the same (id, salt)
+    * hash as `hashSample` — so the decision is deterministic,
+    * shuffle-free, and MONOTONE in the weight: a document kept at weight
+    * w stays kept at any w' ≥ w (re-tuning a weighting function only
+    * adds/removes the rows whose weight actually crossed their hash
+    * point, it never re-deals the sample). This is the resampling step
+    * that turns a quality/score column into a weighted corpus
+    * (quality-weighted subsampling; length-proportional weights
+    * approximate uniform-over-tokens sampling).
+    *
+    * Engine-portable exactly: the hash is a 32-bit integer (exact as a
+    * double) and `weight × 2^32` is one IEEE multiply of
+    * identically-derived doubles, so the kept set is bit-reproducible in
+    * any engine that computes the same weight expression.
+    */
+  def importanceSample(df: DataFrame, weight: Column,
+      idCol: String = "doc_id", salt: String = "v1"): DataFrame = {
+    val w = least(greatest(weight, lit(0.0)), lit(1.0))
+    df.filter(
+      bucketHash(col(idCol), salt).cast("double") < w * 4294967296.0)
+  }
+
   /** Deterministic subsample at full 32-bit granularity: keep rows whose
     * hash falls under fraction × 2^32. Unlike `df.sample` (seeded RNG over
     * a partition iterator — resolution-dependent and engine-private), the

@@ -62,6 +62,29 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(ids, 1.0).count() == 10000)
   }
 
+  test("importanceSample: keep rate tracks the weight, monotone in the " +
+      "weight, weight 0/1 exact, agrees with hashSample at constant w") {
+    val weighted = ids.withColumn("w",
+      (col("doc_id") % 100).cast("double") / 100.0)
+    val kept = Sampling.importanceSample(weighted, col("w"))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    // E[kept] = 10000 * mean(w) = 4950
+    assert(math.abs(kept.size - 4950) < 300, kept.size.toString)
+    // monotone: kept at w stays kept when every weight grows
+    val grown = Sampling.importanceSample(
+        weighted.withColumn("w", least(col("w") * 1.5, lit(1.0))), col("w"))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(kept.subsetOf(grown))
+    // weight 0 drops everything, weight 1 keeps everything (clamped)
+    assert(Sampling.importanceSample(weighted, lit(0.0)).count() == 0)
+    assert(Sampling.importanceSample(weighted, lit(2.0)).count() == 10000)
+    // constant weight = hashSample at that fraction (same hash point)
+    val const = Sampling.importanceSample(weighted, lit(0.1))
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val hs = Sampling.hashSample(ids, 0.1).as[Long].collect().toSet
+    assert(const == hs)
+  }
+
   test("stratifiedSample: per-stratum fractions, nested and independent") {
     val docs = (0L until 9000L)
       .map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
