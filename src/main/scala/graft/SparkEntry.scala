@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.graph.Components
 import graft.kg.{KgPipeline, Linker, Synthetic}
 import graft.multimodal.Multimodal
-import graft.ops.{MergeReconcile, Sampling}
+import graft.ops.{Curation, MergeReconcile, Sampling}
 import graft.sim.Similarity
 import graft.text.{CorpusStats, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -437,6 +437,21 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
         defaultFraction = 0.1)
         .select("doc_id", "source")),
+
+    // end-to-end curation funnel: exact-dedup → Gopher lexical quality →
+    // repetition → benchmark decontamination (8-gram) → near-dup dedup
+    // among the survivors — one decision per document with the stage that
+    // dropped it; the whole composition (including the transitive
+    // closure) is DuckDB-oracled. minStopHits = 1: the synthetic corpus
+    // tops out at one stop-word hit, so Gopher's published 2 would zero
+    // the funnel; every other threshold is the published value
+    "q_doc_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        minStopHits = 1L)
+    }),
 
     // leakage-safe split: simhash near-dup clusters (CC over the pair
     // graph) assigned as units by their canonical member's hash —
@@ -1001,6 +1016,153 @@ object SparkEntry {
         | CAST(h.n_shared AS BIGINT) AS n_shared,
         | CAST(h.n_shared AS DOUBLE) / sz.n AS contamination
         |FROM hit h JOIN sz USING (doc_id)""".stripMargin,
+
+    // the funnel composes the already-verified stage fragments (exact
+    // dedup, gopher, repetition, decontaminate, jaccard pairs + recursive
+    // CC) over the SAME shrinking survivor sets as the engine: stages 1-4
+    // are per-doc flags, stage-5 pairs are generated among stage-1..4
+    // survivors only, and the CASE applies stages in funnel order
+    "q_doc_curation" ->
+      """WITH RECURSIVE
+        |docs0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        |fpr AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM docs0),
+        |rep AS (SELECT fp, min(doc_id) AS rep_id FROM fpr GROUP BY 1),
+        |d AS (SELECT doc_id, text, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM docs0),
+        |gb AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+        |  CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0)
+        |   AS BIGINT) AS sumlen,
+        |  CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+        |   AS BIGINT) AS nalpha,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+        |   + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+        |   + CAST((length(text) - length(replace(text, '...', ''))) / 3
+        |      AS BIGINT) AS symbols,
+        |  CAST(CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END
+        |   + CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END
+        |   AS BIGINT) AS stop_hits
+        | FROM d),
+        |gq AS (SELECT doc_id,
+        |  (n >= 50 AND n <= 100000
+        |   AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(sumlen AS DOUBLE) / n END)
+        |     >= 3.0
+        |   AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(sumlen AS DOUBLE) / n END)
+        |     <= 10.0
+        |   AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(nalpha AS DOUBLE) / n END)
+        |     >= 0.8
+        |   AND (CASE WHEN n = 0 THEN 0.0 ELSE CAST(symbols AS DOUBLE) / n END)
+        |     <= 0.1
+        |   AND stop_hits >= 1) AS q_keep
+        | FROM gb),
+        |rb AS (SELECT doc_id, w, len(w) AS nt,
+        |  CAST(length(array_to_string(w, ' ')) AS BIGINT) AS nc FROM d),
+        |rg AS (SELECT rb.doc_id, n.n, i.i,
+        |   array_to_string(rb.w[i.i:i.i + n.n - 1], ' ') AS gram
+        |  FROM rb, unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n(n),
+        |   unnest(generate_series(1, rb.nt - n.n + 1)) AS i(i)
+        |  WHERE rb.nt >= n.n),
+        |rc AS (SELECT doc_id, n, gram, count(*) AS cnt
+        |  FROM rg GROUP BY 1, 2, 3),
+        |rtp AS (SELECT doc_id,
+        |  max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS m2,
+        |  max(CASE WHEN n = 3 THEN cnt * length(gram) END) AS m3,
+        |  max(CASE WHEN n = 4 THEN cnt * length(gram) END) AS m4
+        | FROM rc GROUP BY 1),
+        |rdup AS (SELECT DISTINCT rg.doc_id, rg.n, pp.p
+        |  FROM rg JOIN rc ON rg.doc_id = rc.doc_id AND rg.n = rc.n
+        |   AND rg.gram = rc.gram,
+        |   unnest(generate_series(rg.i, rg.i + rg.n - 1)) AS pp(p)
+        |  WHERE rc.cnt >= 2 AND rg.n >= 5),
+        |rcv AS (SELECT doc_id,
+        |  count(CASE WHEN n = 5 THEN 1 END) AS c5,
+        |  count(CASE WHEN n = 6 THEN 1 END) AS c6,
+        |  count(CASE WHEN n = 7 THEN 1 END) AS c7,
+        |  count(CASE WHEN n = 8 THEN 1 END) AS c8,
+        |  count(CASE WHEN n = 9 THEN 1 END) AS c9,
+        |  count(CASE WHEN n = 10 THEN 1 END) AS c10
+        | FROM rdup GROUP BY 1),
+        |rkeep AS (SELECT rb.doc_id,
+        |  ((CASE WHEN rb.nc = 0 THEN 0.0
+        |    ELSE CAST(coalesce(rtp.m2, 0) AS DOUBLE) / rb.nc END) <= 0.20
+        |   AND (CASE WHEN rb.nc = 0 THEN 0.0
+        |    ELSE CAST(coalesce(rtp.m3, 0) AS DOUBLE) / rb.nc END) <= 0.18
+        |   AND (CASE WHEN rb.nc = 0 THEN 0.0
+        |    ELSE CAST(coalesce(rtp.m4, 0) AS DOUBLE) / rb.nc END) <= 0.16
+        |   AND (CASE WHEN rb.nt = 0 THEN 0.0
+        |    ELSE CAST(coalesce(rcv.c5, 0) AS DOUBLE) / rb.nt END) <= 0.15
+        |   AND (CASE WHEN rb.nt = 0 THEN 0.0
+        |    ELSE CAST(coalesce(rcv.c6, 0) AS DOUBLE) / rb.nt END) <= 0.14
+        |   AND (CASE WHEN rb.nt = 0 THEN 0.0
+        |    ELSE CAST(coalesce(rcv.c7, 0) AS DOUBLE) / rb.nt END) <= 0.13
+        |   AND (CASE WHEN rb.nt = 0 THEN 0.0
+        |    ELSE CAST(coalesce(rcv.c8, 0) AS DOUBLE) / rb.nt END) <= 0.12
+        |   AND (CASE WHEN rb.nt = 0 THEN 0.0
+        |    ELSE CAST(coalesce(rcv.c9, 0) AS DOUBLE) / rb.nt END) <= 0.11
+        |   AND (CASE WHEN rb.nt = 0 THEN 0.0
+        |    ELSE CAST(coalesce(rcv.c10, 0) AS DOUBLE) / rb.nt END) <= 0.10)
+        |   AS r_keep
+        | FROM rb LEFT JOIN rtp ON rb.doc_id = rtp.doc_id
+        |  LEFT JOIN rcv ON rb.doc_id = rcv.doc_id),
+        |dbm AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents WHERE doc_id % 20 = 0),
+        |b0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i
+        | FROM dbm WHERE len(w) > 0),
+        |bench AS (SELECT DISTINCT
+        |  array_to_string(w[i:least(i + 7, len(w))], ' ') AS s FROM b0),
+        |c0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(1, greatest(len(w) - 7, 1))) AS i
+        | FROM d WHERE len(w) > 0),
+        |csh AS (SELECT DISTINCT doc_id,
+        |  array_to_string(w[i:least(i + 7, len(w))], ' ') AS s FROM c0),
+        |con AS (SELECT DISTINCT doc_id FROM csh JOIN bench USING (s)),
+        |pre AS (SELECT f.doc_id, r.rep_id, gq.q_keep, rkeep.r_keep,
+        |  (con.doc_id IS NOT NULL) AS contaminated
+        | FROM fpr f JOIN rep r USING (fp)
+        |  JOIN gq ON gq.doc_id = f.doc_id
+        |  JOIN rkeep ON rkeep.doc_id = f.doc_id
+        |  LEFT JOIN con ON con.doc_id = f.doc_id),
+        |s14 AS (SELECT doc_id FROM pre
+        | WHERE doc_id = rep_id AND q_keep AND r_keep AND NOT contaminated),
+        |j0 AS (SELECT d.doc_id, d.w,
+        |  unnest(generate_series(1, greatest(len(d.w) - 2, 1))) AS i
+        | FROM d JOIN s14 USING (doc_id) WHERE len(d.w) > 0),
+        |sh3 AS (SELECT DISTINCT doc_id,
+        |  array_to_string(w[i:least(i + 2, len(w))], ' ') AS s FROM j0),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh3 GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        | FROM sh3 a JOIN sh3 b ON a.s = b.s AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |prs AS (SELECT ip.doc_a, ip.doc_b
+        | FROM ip JOIN sz na ON ip.doc_a = na.doc_id
+        |  JOIN sz nb ON ip.doc_b = nb.doc_id
+        | WHERE CAST(ip.i AS DOUBLE) / (na.n + nb.n - ip.i) >= 0.5),
+        |und AS (SELECT doc_a AS a, doc_b AS b FROM prs
+        | UNION SELECT doc_b, doc_a FROM prs),
+        |reach(node, comp) AS (
+        | SELECT a, a FROM und
+        | UNION
+        | SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node),
+        |lab AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node)
+        |SELECT pre.doc_id, CASE
+        |  WHEN pre.doc_id <> pre.rep_id THEN 'exact_dup'
+        |  WHEN NOT pre.q_keep THEN 'quality'
+        |  WHEN NOT pre.r_keep THEN 'repetition'
+        |  WHEN pre.contaminated THEN 'contaminated'
+        |  WHEN lab.comp IS NOT NULL AND lab.comp <> pre.doc_id
+        |   THEN 'near_dup'
+        |  ELSE 'kept' END AS decision
+        |FROM pre LEFT JOIN lab ON lab.node = pre.doc_id""".stripMargin,
 
     // split assignment is itself oracle-checkable: both engines compute
     // the same md5-derived 32-bit bucket (hex-prefix recipe)
