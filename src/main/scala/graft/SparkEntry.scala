@@ -438,6 +438,13 @@ object SparkEntry {
         defaultFraction = 0.1)
         .select("doc_id", "source")),
 
+    // per-source cap ("≤ N pages per domain"): uniform-within-source
+    // deterministic selection by the shared md5 hash point; two-phase
+    // plan — only over-cap sources shuffle into the window
+    "q_doc_source_cap" -> ((s, dir) =>
+      Sampling.capPerSource(
+        t(s, dir, "documents").select("doc_id", "source"), cap = 18)),
+
     // end-to-end curation funnel: exact-dedup → Gopher lexical quality →
     // repetition → benchmark decontamination (8-gram) → near-dup dedup
     // among the survivors — one decision per document with the stage that
@@ -1016,6 +1023,14 @@ object SparkEntry {
         | CAST(h.n_shared AS BIGINT) AS n_shared,
         | CAST(h.n_shared AS DOUBLE) / sz.n AS contamination
         |FROM hit h JOIN sz USING (doc_id)""".stripMargin,
+
+    "q_doc_source_cap" ->
+      """SELECT doc_id, source FROM (
+        | SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |  ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |    || ':v1'), 1, 8))::UBIGINT AS BIGINT) ASC, doc_id ASC) AS rn
+        | FROM documents)
+        |WHERE rn <= 18""".stripMargin,
 
     // the funnel composes the already-verified stage fragments (exact
     // dedup, gopher, repetition, decontaminate, jaccard pairs + recursive

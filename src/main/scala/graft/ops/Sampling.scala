@@ -132,6 +132,41 @@ object Sampling {
       bucketHash(col(idCol), salt).cast("double") < w * 4294967296.0)
   }
 
+  /** Per-source document cap — the "at most N pages per domain" rule of
+    * web-corpus curation (a handful of boilerplate-heavy domains
+    * otherwise dominate the token budget). Keeps the `cap` rows of each
+    * source whose (id, salt) hash sorts lowest (doc_id tie-break), so the
+    * selection is (a) uniform within the source rather than biased toward
+    * low ids, (b) deterministic and engine-portable like every sampler
+    * here, and (c) NESTED in the cap: raising N only adds documents.
+    *
+    * Scale shape — the naive form is one window over EVERY row, which
+    * shuffles the full corpus by source and sorts inside the giant
+    * domains (exactly the skewed keys). Instead, a two-phase plan: a
+    * partial-agg count finds the sources over cap (a tiny set in web
+    * corpora); under-cap sources pass through with NO shuffle at all via
+    * a left-anti join on that dictionary; only the over-cap slice — the
+    * skewed tail, a corpus fraction — shuffles into the row_number
+    * window. Output: input columns, over-cap rows filtered to the cap.
+    */
+  def capPerSource(df: DataFrame, cap: Int, sourceCol: String = "source",
+      idCol: String = "doc_id", salt: String = "v1"): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    // referenced from both join branches → materialize the tiny
+    // dictionary once (Catalyst has no cross-branch CSE)
+    val overCap = graft.core.SparkUtil.materializeOnce(
+      df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select(sourceCol))
+    val pass = df.join(overCap, Seq(sourceCol), "left_anti")
+    val capped = df.join(overCap, Seq(sourceCol), "left_semi")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(sourceCol)
+          .orderBy(bucketHash(col(idCol), salt).asc, col(idCol).asc)))
+      .filter(col("__rn") <= cap).drop("__rn")
+    pass.unionByName(capped).select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Deterministic subsample at full 32-bit granularity: keep rows whose
     * hash falls under fraction × 2^32. Unlike `df.sample` (seeded RNG over
     * a partition iterator — resolution-dependent and engine-private), the

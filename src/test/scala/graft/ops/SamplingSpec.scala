@@ -85,6 +85,32 @@ class SamplingSpec extends SparkSpec {
     assert(const == hs)
   }
 
+  test("capPerSource: cap respected, under-cap sources untouched, " +
+      "nested in the cap, selection = per-source hash order") {
+    // src0: 40 docs (over cap), src1: 5 docs (under cap)
+    val docs = ((0L until 40L).map(i => (i, "src0")) ++
+      (100L until 105L).map(i => (i, "src1"))).toDF("doc_id", "source")
+    val kept10 = Sampling.capPerSource(docs, cap = 10)
+      .as[(Long, String)].collect()
+    val by = kept10.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(by("src0").size == 10)
+    assert(by("src1") == (100L until 105L).toSet) // untouched, no resample
+    // selection = the 10 lowest (hash, id) of src0 — recompute brutely
+    val hashed = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), Sampling.bucketHash(col("doc_id"), "v1"))
+      .as[(Long, Long)].collect()
+    val expect = hashed.sortBy { case (id, h) => (h, id) }
+      .take(10).map(_._1).toSet
+    assert(by("src0") == expect)
+    // nested: cap 10 kept-set ⊆ cap 20 kept-set
+    val kept20 = Sampling.capPerSource(docs, cap = 20)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(kept10.map(_._1).toSet.subsetOf(kept20))
+    // schema passthrough: same columns as the input
+    assert(Sampling.capPerSource(docs, 10).columns.toSeq ==
+      Seq("doc_id", "source"))
+  }
+
   test("stratifiedSample: per-stratum fractions, nested and independent") {
     val docs = (0L until 9000L)
       .map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
