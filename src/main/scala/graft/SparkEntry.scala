@@ -403,6 +403,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 20 === 0), k = 3, fpp = 1e-4)
     }),
 
+    // fuzzy decontamination: per-(document, benchmark item) containment
+    // |A∩B|/|B| ≥ t — catches a benchmark item EMBEDDED in a long
+    // document, which the doc-level contamination ratio and symmetric
+    // Jaccard both miss; benchmark prefix table broadcasts, corpus never
+    // shuffles by shingle
+    "q_doc_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0), k = 3, threshold = 0.5)
+    }),
+
     // deterministic train/val/test split: hashed percent buckets — a
     // shuffle-free codegen'd projection whose assignment is stable under
     // corpus growth and engine-portable (md5-based, DuckDB-oracled)
@@ -1023,6 +1035,29 @@ object SparkEntry {
         | CAST(h.n_shared AS BIGINT) AS n_shared,
         | CAST(h.n_shared AS DOUBLE) / sz.n AS contamination
         |FROM hit h JOIN sz USING (doc_id)""".stripMargin,
+
+    // per-(doc, benchmark item) containment over DISTINCT shingle sets
+    // (same tokenizer + short-doc fallback as the jaccard oracle);
+    // integer-ratio containment is bit-exact cross-engine
+    "q_doc_decontaminate_fuzzy" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |s0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+        | FROM d WHERE len(w) > 0),
+        |sh AS (SELECT DISTINCT doc_id,
+        |  array_to_string(w[i:least(i + 2, len(w))], ' ') AS s FROM s0),
+        |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 20 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+        |bsz AS (SELECT bench_id, count(*) AS n_bench FROM bench GROUP BY 1),
+        |hit AS (SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+        | FROM corp c JOIN bench b USING (s) GROUP BY 1, 2)
+        |SELECT h.doc_id, h.bench_id, CAST(b.n_bench AS BIGINT) AS n_bench,
+        | CAST(h.n_shared AS BIGINT) AS n_shared,
+        | CAST(h.n_shared AS DOUBLE) / b.n_bench AS containment
+        |FROM hit h JOIN bsz b USING (bench_id)
+        |WHERE CAST(h.n_shared AS DOUBLE) / b.n_bench >= 0.5""".stripMargin,
 
     "q_doc_source_cap" ->
       """SELECT doc_id, source FROM (

@@ -594,6 +594,95 @@ object Dedup {
         col("n_shared").cast("double") / col("n_ngrams"))
   }
 
+  /** Fuzzy (near-match) benchmark decontamination — the containment arm
+    * the exact scan above cannot express: a benchmark item lightly
+    * paraphrased or EMBEDDED inside a long document shares a large
+    * fraction of ITS OWN shingles while contributing a tiny fraction of
+    * the document's, so both the doc-level `contamination` ratio and any
+    * symmetric Jaccard stay low. Real pipelines therefore also run an
+    * asymmetric overlap pass per benchmark ITEM (the methodology family
+    * of GPT-3's eval dedup, Brown et al. 2020 appendix C, and Dodge et
+    * al. 2021): emit every (document, benchmark item) pair whose
+    * containment |A∩B| / |B| ≥ `threshold` (A = document's distinct
+    * word-k-gram set, B = the item's), with exact counts.
+    *
+    * Full recall without all-pairs, via a prefix filter on the BENCHMARK
+    * side: under any fixed total order of an item's n_b shingles, if a
+    * document shares ≥ ⌈t·n_b⌉ of them, the shared elements cannot all
+    * fit in the suffix of size ⌈t·n_b⌉ − 1 — so the item's first
+    * n_b − ⌈t·n_b⌉ + 1 shingles (its prefix) contain at least one shared
+    * element, and an equi-join of benchmark PREFIXES against ALL corpus
+    * shingles misses no qualifying pair. The order is chosen rarest-in-
+    * corpus-first (corpus document frequency asc, hash asc), so prefix
+    * keys are the corpus-rarest shingles of each item and candidate
+    * volume is bounded by rare-key document frequencies.
+    *
+    * Scale shape: the benchmark side is tiny (evaluation suites vs a
+    * 100 TB crawl) — its shingle table, the df lookup for it, and the
+    * final prefix table all BROADCAST; the corpus is never shuffled by
+    * shingle. Three linear corpus passes, no corpus-sized shuffle:
+    * (1) df of benchmark shingles only — a broadcast semi-probe whose
+    * partial aggregation ships one count per matched shingle; (2) the
+    * candidate probe against the broadcast prefix; (3) the text fetch
+    * that joins the (small) deduped candidate set back for verification
+    * with the exact merge-count kernel. Re-scanning beats materializing
+    * a 100 TB tokenization, and the rare-prefix candidate bound is worth
+    * the extra tokenize pass over a hash-ordered single-pass prefix.
+    * Counts are over
+    * distinct shingle sets and `containment` is an integer-ratio double,
+    * so the operator is ANSI-SQL-expressible and DuckDB-oracled exactly
+    * (same hash/string injectivity argument as `ngramJaccardNearDups`).
+    *
+    * @return (doc_id, bench_id, n_bench, n_shared, containment), one row
+    *         per qualifying pair; items with empty shingle sets pair
+    *         with nothing (a pair must share at least one shingle)
+    */
+  def decontaminateFuzzy(corpusIn: DataFrame, benchmark: DataFrame,
+      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val corpus = graft.core.SparkUtil.spread(corpusIn)
+    val shSet = udf((t: String) => TextHash.shingleHashSet(t, k))
+    val benchSh = graft.core.SparkUtil.materializeOnce(benchmark
+      .select(col("doc_id").as("bench_id"), explode(shSet(col("text"))).as("sh")))
+    val corpSh = corpus
+      .select(col("doc_id"), explode(shSet(col("text"))).as("sh"))
+    // corpus document frequency, computed for benchmark shingles only;
+    // a shingle absent from the corpus keeps df 0 (sorts first, matches
+    // nothing — recall unaffected: the prefix argument holds under ANY
+    // total order)
+    val dfreq = corpSh
+      .join(broadcast(benchSh.select("sh").distinct()), Seq("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val byItem = Window.partitionBy("bench_id")
+    val order = byItem.orderBy(col("df").asc, col("sh").asc)
+    // ceil guarded an ulp low, mirroring ngramJaccardNearDups: FP error
+    // can only LENGTHEN the prefix, never cost recall
+    val prefix = benchSh.join(dfreq, Seq("sh"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("n_b", count(lit(1)).over(byItem))
+      .withColumn("rn", row_number().over(order))
+      .filter(col("rn") <= col("n_b") - ceil(col("n_b") * threshold - 1e-9) + 1)
+      .select(col("sh"), col("bench_id"), col("n_b"))
+    val cand = corpSh.join(broadcast(prefix), Seq("sh"))
+      .select("doc_id", "bench_id", "n_b")
+      .dropDuplicates("doc_id", "bench_id")
+    val inter = udf((a: String, b: String) =>
+      TextHash.shingleIntersectCount(a, b, k))
+    val benchTexts = benchmark
+      .select(col("doc_id").as("bench_id"), col("text").as("text_b"))
+    cand
+      .join(corpus.select(col("doc_id"), col("text").as("text_a")), Seq("doc_id"))
+      .join(broadcast(benchTexts), Seq("bench_id"))
+      .withColumn("n_shared", inter(col("text_a"), col("text_b")))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_b"))
+      .filter(col("containment") >= threshold)
+      .select(col("doc_id"), col("bench_id"), col("n_b").as("n_bench"),
+        col("n_shared"), col("containment"))
+  }
+
   /** Canonical-survivor selection after near-dup clustering: keep the
     * lowest doc_id of each connected dup-group (union by repeated min —
     * one window pass suffices for pairwise near-dup output).

@@ -111,6 +111,23 @@ object TextHash extends Serializable {
     else jaccardSorted(sa, sb)
   }
 
+  /** Exact |A ∩ B| of two documents' distinct shingle sets — the
+    * verification count behind containment-style contamination checks
+    * (merge-count over the sorted distinct arrays, allocation-light).
+    */
+  def shingleIntersectCount(a: String, b: String, k: Int): Long = {
+    val sa = distinctSorted(shingleHashes(a, k))
+    val sb = distinctSorted(shingleHashes(b, k))
+    var i = 0; var j = 0; var inter = 0L
+    while (i < sa.length && j < sb.length) {
+      val x = sa(i); val y = sb(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** 64-bit SimHash over token hashes. */
   def simhash64(text: String): Long = {
     val t = tokens(text)

@@ -97,6 +97,59 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"bloom arm must not join:\n${plan.take(1500)}")
   }
 
+  test("decontaminateFuzzy: embedded item caught at containment 1.0 " +
+      "where symmetric Jaccard misses; exact counts; clean docs absent") {
+    val item = "alpha beta gamma delta epsilon zeta"
+    val filler = (0 until 60).map(j =>
+      java.lang.Long.toHexString(TextHash.mix(99L, j.toLong))).mkString(" ")
+    val bench = Seq((1000L, item)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"$filler $item"),          // item embedded in a long doc
+      (2L, "alpha beta gamma delta"),  // shares {abg, bgd}: 2 of 4
+      (3L, filler)                     // clean — must not appear
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateFuzzy(corpus, bench, k = 3, threshold = 0.5)
+      .select("doc_id", "bench_id", "n_bench", "n_shared", "containment")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(out == Set((1L, 1000L, 4L, 4L, 1.0), (2L, 1000L, 4L, 2L, 0.5)))
+    // the motivating gap: the embedded pair's symmetric Jaccard is far
+    // below any usable near-dup threshold — only containment sees it
+    assert(TextHash.jaccardShingles(s"$filler $item", item, 3) < 0.1)
+    // benchmark prefix table must broadcast: the corpus is never
+    // shuffled by shingle at any scale
+    val plan = Dedup.decontaminateFuzzy(corpus, bench, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench prefix must broadcast:\n${plan.take(1500)}")
+  }
+
+  test("decontaminateFuzzy EQUALS brute-force containment at two " +
+      "thresholds (prefix filter full recall)") {
+    val bench = docsDf.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("bench_id"), col("text").as("text_b"))
+    val corpus = docsDf.filter(col("doc_id") % 5 =!= 0)
+    for (t <- Seq(0.3, 0.6)) {
+      val brute = corpus.select(col("doc_id"), col("text").as("text_a"))
+        .crossJoin(bench)
+        .collect().flatMap { r =>
+          val nShared = TextHash.shingleIntersectCount(
+            r.getString(1), r.getString(3), 3)
+          val nBench = TextHash.shingleHashSet(r.getString(3), 3).length.toLong
+          val c = nShared.toDouble / nBench
+          if (nBench > 0 && c >= t)
+            Some((r.getLong(0), r.getLong(2), nBench, nShared, c))
+          else None
+        }.toSet
+      val got = Dedup.decontaminateFuzzy(corpus,
+          bench.select(col("bench_id").as("doc_id"), col("text_b").as("text")),
+          k = 3, threshold = t)
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == brute,
+        s"t=$t: got ${got.size} pairs, brute ${brute.size}; " +
+          s"missing=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    }
+  }
+
   test("exact dedup groups exact copies") {
     val d = Dedup.exact(docsDf)
     assert(d.count() == 40) // 45 docs, 5 exact copies collapse
