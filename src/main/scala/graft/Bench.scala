@@ -33,6 +33,7 @@ object Bench {
     "q_doc_decontaminate_bloom", "q_doc_decontaminate_fuzzy",
     "q_doc_top_ngrams",
     "q_doc_tfidf", "q_doc_vocab", "q_doc_source_stats",
+    "q_doc_length_quantiles", "q_doc_keyword_search",
     "q_doc_simhash_neardup", "q_doc_simhash128_neardup",
     "q_embed_norm", "q_embed_topk", "q_embed_ann_lsh", "q_embed_ann_ivf",
     "q_embed_neardup", "q_embed_neardup_lsh", "q_multimodal_features",

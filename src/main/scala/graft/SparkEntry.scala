@@ -516,6 +516,20 @@ object SparkEntry {
     "q_doc_source_stats" -> ((s, dir) =>
       CorpusStats.sourceStats(t(s, dir, "documents"))),
 
+    // per-source token-length quantiles, exact arm (rank-⌈q·n⌉
+    // definition, deterministic + engine-portable); the percentile_approx
+    // sketch arm — O(1) in docs per source — is error-bound-tested
+    // against this arm in CorpusStatsSpec
+    "q_doc_length_quantiles" -> ((s, dir) =>
+      CorpusStats.lengthQuantiles(t(s, dir, "documents"))),
+
+    // keyword-search top-k: summed tf·idf of the query's terms with
+    // integer-scaled weights (exact order-free sum, hash-comparable);
+    // map-side isin filter before any shuffle, TakeOrderedAndProject
+    "q_doc_keyword_search" -> ((s, dir) =>
+      CorpusStats.keywordSearch(t(s, dir, "documents"),
+        query = "spark merge customer", topK = 20)),
+
     "q_doc_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 8)),
 
@@ -1310,6 +1324,42 @@ object SparkEntry {
         | CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fingerprints,
         | 1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS dup_rate
         |FROM f GROUP BY 1""".stripMargin,
+
+    // rank-⌈q·n⌉ quantile definition: both engines evaluate ceil(q*n)
+    // on the same IEEE doubles, so the picked ranks agree exactly
+    "q_doc_length_quantiles" ->
+      """WITH c AS (SELECT source, doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   END AS tokens
+        | FROM documents),
+        |r AS (SELECT source, doc_id, tokens,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY tokens, doc_id) AS rn
+        | FROM c)
+        |SELECT source, q, n_docs, tokens AS tokens_at_q
+        |FROM r CROSS JOIN
+        | (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+        |WHERE rn = CAST(ceil(q * n_docs) AS BIGINT)""".stripMargin,
+
+    // integer-scaled idf weights floor(N*scale/df) make the per-doc
+    // score an exact integer sum — order-free, engine-portable
+    "q_doc_keyword_search" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0)) AS term FROM documents),
+        |f AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        | FROM tok WHERE term IN ('spark', 'merge', 'customer')
+        | GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT term, CAST(floor(
+        |   CAST(n.n_docs * 1000000 AS DOUBLE) / count(*)) AS BIGINT) AS w
+        | FROM f CROSS JOIN n GROUP BY term, n.n_docs)
+        |SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        | CAST(sum(f.tf * w.w) AS BIGINT) AS score
+        |FROM f JOIN w USING (term)
+        |GROUP BY 1 ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // positional 3-grams (repeats count; docs under 3 tokens contribute
     // none); (n desc, ngram asc) makes the top-100 SET deterministic

@@ -169,6 +169,104 @@ object CorpusStats {
     * to broadcast in practice, and the per-doc partial agg collapses the
     * exploded rows straight back down.
     */
+  /** Per-source token-length quantiles — the length-distribution report
+    * behind truncation budgets, packing sequence lengths, and per-source
+    * length filters. Quantile definition is pinned deterministically:
+    * the q-quantile of a source with n documents is the token count of
+    * the document at rank ⌈q·n⌉ in (tokens asc, doc_id asc) order —
+    * every engine computing this definition agrees bit-exactly (both
+    * sides evaluate ⌈q·n⌉ on the same IEEE doubles), unlike
+    * interpolating quantile functions whose conventions differ.
+    *
+    * Two arms, same schema (source, q, n_docs, tokens_at_q):
+    *  - `approximate = false` (oracle arm): exact — a row_number window
+    *    per source. A skewed source means one big per-group sort
+    *    (spillable, but the sort IS the cost of exactness).
+    *  - `approximate = true` (100 TB arm): `percentile_approx` — each
+    *    task folds its rows into a fixed-size KLL-style sketch and the
+    *    exchange carries one sketch per (partition, source): no
+    *    per-source sort, cost O(1) in documents per source. Rank error
+    *    is bounded by 1/accuracy; asserted against the exact arm in
+    *    CorpusStatsSpec.
+    */
+  def lengthQuantiles(documentsIn: DataFrame,
+      qs: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9, 0.99),
+      approximate: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val counts = documents.select(col("source"), col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+    if (approximate) {
+      val qArr = array(qs.map(lit): _*)
+      counts.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          percentile_approx(col("tokens"), qArr, lit(accuracy)).as("ts"))
+        .select(col("source"), explode(arrays_zip(qArr.as("q"),
+          col("ts").as("tokens_at_q"))).as("z"), col("n_docs"))
+        .select(col("source"), col("z.q").as("q"), col("n_docs"),
+          col("z.tokens_at_q").as("tokens_at_q"))
+    } else {
+      val w = Window.partitionBy("source")
+      val ranked = counts
+        .withColumn("n_docs", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("tokens").asc, col("doc_id").asc)).cast("long"))
+      ranked
+        .select(col("source"), col("n_docs"), col("rn"), col("tokens"),
+          explode(array(qs.map(lit): _*)).as("q"))
+        .filter(col("rn") === ceil(col("q") * col("n_docs")).cast("long"))
+        .select(col("source"), col("q"), col("n_docs"),
+          col("tokens").as("tokens_at_q"))
+    }
+  }
+
+  /** Keyword search: top-k documents for a whitespace query string by
+    * summed tf·idf of its distinct terms — the retrieval shape (inverted
+    * scoring + global top-k) over the same linear-idf family as
+    * `tfidfTopTerms`. Term weights are INTEGER-scaled:
+    * w(t) = ⌊N·scale / df(t)⌋ and score = Σ_t tf(t)·w(t) is an exact
+    * integer sum — order-free, so the operator hash-compares across
+    * engines (an FP Σ tf·(N/df) would differ in the last ulp with
+    * summation order). `scale` trades idf resolution against headroom:
+    * score ≤ maxTf·nTerms·N·scale must fit a long, so trillion-doc
+    * corpora drop scale toward 1 while bench corpora keep full
+    * resolution (the default suits N ≲ 10⁹).
+    *
+    * Scale shape: the query's distinct terms are a literal isin set, so
+    * the token explode filters map-side BEFORE any shuffle — only
+    * positions of query terms survive (a vanishing fraction of the
+    * corpus). One groupBy(doc_id, term) for tf (partial agg), df of the
+    * query terms derived from that tf table, a dictionary-sized
+    * broadcast join of ≤ |query| df rows, and the global top-k is
+    * (score desc, doc_id asc) + limit = TakeOrderedAndProject: per-task
+    * heaps, no global sort.
+    */
+  def keywordSearch(documentsIn: DataFrame, query: String, topK: Int = 10,
+      scale: Long = 1000000L): DataFrame = {
+    require(topK >= 1, s"need topK >= 1, got $topK")
+    require(scale >= 1L, s"need scale >= 1, got $scale")
+    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "query has no terms")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val nDocs = documents.count()
+    val tf = graft.core.SparkUtil.materializeOnce(
+      documents
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .filter(col("term").isin(terms.toSeq: _*))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf")))
+    val weights = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("w", floor(lit(nDocs * scale) / col("df")).cast("long"))
+    tf.join(broadcast(weights), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("tf") * col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+      .select(col("doc_id"), col("n_terms"), col("score"))
+  }
+
   def tokenFreqScore(documentsIn: DataFrame): DataFrame = {
     val documents = graft.core.SparkUtil.spread(documentsIn)
     // explicit checkpoint: the explode is a Project in the UNANALYZED

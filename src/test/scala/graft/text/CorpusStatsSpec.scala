@@ -104,4 +104,62 @@ class CorpusStatsSpec extends SparkSpec {
       .map(r => r._1 -> r._4).toMap
     assert(ap == Map("web" -> 2L, "books" -> 2L))
   }
+
+  test("lengthQuantiles: rank-ceil(q*n) definition, hand-computed; " +
+      "sketch arm within rank-error bound of the exact arm") {
+    // source s1: token counts 1..10 (doc_id = token count)
+    val docs = (1 to 10).map(i =>
+      (i.toLong, (1 to i).map(_ => "w").mkString(" "), "s1")) ++
+      Seq((100L, "a b c", "s2")) // single-doc source: every q hits it
+    val df = docs.toDF("doc_id", "text", "source")
+    val out = CorpusStats.lengthQuantiles(df, qs = Seq(0.25, 0.5, 1.0))
+      .as[(String, Double, Long, Long)].collect().toSet
+    // s1 n=10: ceil(2.5)=rank 3 → 3 tokens; ceil(5)=rank 5 → 5; rank 10 → 10
+    assert(out == Set(("s1", 0.25, 10L, 3L), ("s1", 0.5, 10L, 5L),
+      ("s1", 1.0, 10L, 10L), ("s2", 0.25, 1L, 3L), ("s2", 0.5, 1L, 3L),
+      ("s2", 1.0, 1L, 3L)))
+    // sketch arm: same schema, tokens_at_q within the quantile band
+    // implied by percentile_approx's rank error (generous: exact range)
+    val big = (0 until 500).map(i =>
+      (i.toLong, (0 to i % 50).map(_ => "w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val exact = CorpusStats.lengthQuantiles(big)
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    val approx = CorpusStats.lengthQuantiles(big, approximate = true)
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(approx.keySet == exact.keySet)
+    // uniform 1..50 distribution: allow ±2 token-count slack at
+    // accuracy 10000 over 500 rows (rank error < n/accuracy = 0.05 rows;
+    // value slack covers duplicate-value plateaus)
+    exact.foreach { case (q, v) =>
+      assert(math.abs(approx(q) - v) <= 2L,
+        s"q=$q: approx ${approx(q)} vs exact $v")
+    }
+  }
+
+  test("keywordSearch: integer-scaled tf*idf sum, hand-computed; " +
+      "map-side filter before shuffle; top-k order deterministic") {
+    val docs = Seq(
+      (1L, "spark merge spark"),      // tf(spark)=2, tf(merge)=1
+      (2L, "merge customer"),         // tf(merge)=1, tf(customer)=1
+      (3L, "spark"),                  // tf(spark)=1
+      (4L, "other words only")        // no match — absent
+    ).toDF("doc_id", "text")
+    // N=4; df: spark=2, merge=2, customer=1; scale=100 →
+    // w(spark)=floor(400/2)=200, w(merge)=200, w(customer)=400
+    val out = CorpusStats.keywordSearch(docs, "spark merge customer",
+      topK = 10, scale = 100L)
+      .as[(Long, Long, Long)].collect().toSeq
+    // scores: doc1 = 2*200+1*200 = 600; doc2 = 200+400 = 600; doc3 = 200
+    // tie at 600 breaks on doc_id asc
+    assert(out == Seq((1L, 2L, 600L), (2L, 2L, 600L), (3L, 1L, 200L)))
+    // the isin filter must sit under the explode-side projection, before
+    // any exchange: no full-token shuffle in the plan
+    val plan = CorpusStats.keywordSearch(docs, "spark", topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be a heap merge, not a sort:\n${plan.take(1200)}")
+  }
 }
