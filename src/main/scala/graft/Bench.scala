@@ -29,7 +29,8 @@ object Bench {
     "q_doc_token_freq",
     "q_doc_pack", "q_doc_pack_seqs", "q_doc_pack_bestfit",
     "q_doc_pii_redact",
-    "q_event_json_rollup", "q_event_hourly", "q_doc_decontaminate",
+    "q_event_json_rollup", "q_event_hourly", "q_event_asof",
+    "q_doc_decontaminate",
     "q_doc_decontaminate_bloom", "q_doc_decontaminate_fuzzy",
     "q_doc_top_ngrams",
     "q_doc_tfidf", "q_doc_vocab", "q_doc_source_stats",

@@ -189,6 +189,28 @@ object SparkEntry {
           col("event_type"), col("n"), col("n_users"),
           col("min_value"), col("max_value"))),
 
+    // as-of (point-in-time) join: every click attached to the latest
+    // preceding view of the same user — union + ordered carry-forward
+    // (ONE exchange by key, no quadratic range join); inner form here
+    // (clicks with no preceding view dropped) for a null-free oracle
+    "q_event_asof" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ms")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_event_id"), col("user_id"),
+          col("ms"))
+      graft.ops.AsofJoin.asofJoin(clicks, views, Seq("user_id"), "ms",
+        payloadCols = Seq("view_event_id", "ms"),
+        tieCol = "view_event_id", prefix = "v_")
+        .filter(col("v_view_event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ms").as("click_ms"),
+          col("v_view_event_id").as("view_event_id"),
+          col("v_ms").as("view_ms"),
+          (col("ms") - col("v_ms")).as("gap_ms"))
+    }),
+
     // semi-structured columns: typed from_json extraction (Catalyst
     // JsonToStructs, not string hacks) feeding a partial-agg rollup —
     // the log-metadata parse every event pipeline runs before anything
@@ -661,6 +683,31 @@ object SparkEntry {
         |SELECT event_id, user_id,
         | CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ms ASC, event_id ASC
         |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g""".stripMargin,
+
+    // window-formulated as-of oracle (deterministic in both engines:
+    // right rows sort before left at equal ms, ties to greatest view id
+    // via ascending order + last non-null); null-ordering differences
+    // are harmless — the side column already separates null-tie rows
+    "q_event_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms
+        |  FROM events),
+        |l AS (SELECT event_id, user_id, ms FROM e WHERE event_type = 'click'),
+        |r AS (SELECT event_id AS vid, user_id, ms FROM e
+        |  WHERE event_type = 'view'),
+        |u AS (
+        | SELECT user_id, ms AS t, 1 AS side, event_id, ms,
+        |  NULL::BIGINT AS v_id, NULL::BIGINT AS v_ms FROM l
+        | UNION ALL
+        | SELECT user_id, ms, 0, NULL, NULL, vid, ms FROM r),
+        |c AS (SELECT *,
+        |  last_value(v_id IGNORE NULLS) OVER win AS lv_id,
+        |  last_value(v_ms IGNORE NULLS) OVER win AS lv_ms
+        | FROM u WINDOW win AS (PARTITION BY user_id
+        |   ORDER BY t ASC, side ASC, v_id ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ms AS click_ms, lv_id AS view_event_id,
+        | lv_ms AS view_ms, ms - lv_ms AS gap_ms
+        |FROM c WHERE side = 1 AND lv_id IS NOT NULL""".stripMargin,
 
     "q_event_json_rollup" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
