@@ -214,7 +214,16 @@ object Bench {
       f""""mem_gbps_1t":${arr(ns.toSeq.map(_.windowMem))}%s,""" +
       f""""triples_per_sec_n":${triplesN / secN}%.1f,""" +
       f""""triples_per_sec_4n":${triplesN / sec4N}%.1f,""" +
-      f""""efficiency":$eff%.3f,""" +
+      // physical bound: parallel efficiency at this working-set size
+      // cannot exceed 1.0, and steal is one-sided — a raw ratio above
+      // 1.0 PROVES the 1t numerator was inflated (every 1t draw sat in
+      // a depressed window while a 4t draw reached its floor). Publish
+      // the capped value, keep the raw ratio for attribution, same
+      // treatment the paired ratios already get (ADVICE r3).
+      f""""efficiency":${math.min(eff, 1.0)}%.3f,""" +
+      (if (eff > 1.0)
+        f""""efficiency_raw":$eff%.3f,"capped_at_physical_bound":true,"""
+       else "") +
       // paired ratio only from window-gated adjacent pairs; omitted when
       // no honest pair exists (an ungated pair spanning a phase change
       // once printed a physically impossible 1.41)
