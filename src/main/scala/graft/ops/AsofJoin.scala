@@ -46,6 +46,13 @@ object AsofJoin {
       prefix: String = "asof_"): DataFrame = {
     require(keys.nonEmpty, "need at least one key column")
     require(payloadCols.nonEmpty, "need at least one payload column")
+    val reserved = Seq("__t", "__tie", "__pay", "__side", "__asof")
+    require(!(left.columns ++ right.columns).exists(reserved.contains),
+      s"input columns collide with reserved names $reserved")
+    val clashes = payloadCols.map(prefix + _).filter(left.columns.contains)
+    require(clashes.isEmpty,
+      s"output columns $clashes already exist on the left side — " +
+        "pick another prefix")
     val r = right.select(
       keys.map(col) :+ col(timeCol).as("__t") :+ col(tieCol).as("__tie") :+
         struct(payloadCols.map(col): _*).as("__pay"): _*)
