@@ -1376,7 +1376,7 @@ object SparkEntry {
     // on the same IEEE doubles, so the picked ranks agree exactly
     "q_doc_length_quantiles" ->
       """WITH c AS (SELECT source, doc_id,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |  CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
         |   END AS tokens
         | FROM documents),

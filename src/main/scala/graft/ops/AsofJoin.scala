@@ -53,7 +53,11 @@ object AsofJoin {
     require(clashes.isEmpty,
       s"output columns $clashes already exist on the left side — " +
         "pick another prefix")
-    val r = right.select(
+    // a null time matches nothing: "null <= t" is never true, so
+    // null-time right rows are dropped (unfiltered they would sort
+    // NULLS FIRST and be attached to everything); a null-time LEFT row
+    // symmetrically has no preceding right row and gets null payload
+    val r = right.filter(col(timeCol).isNotNull).select(
       keys.map(col) :+ col(timeCol).as("__t") :+ col(tieCol).as("__tie") :+
         struct(payloadCols.map(col): _*).as("__pay"): _*)
       .withColumn("__side", lit(0))

@@ -19,6 +19,25 @@ object CorpusStats {
   private def toks(c: Column) =
     filter(split(norm(c), " "), t => length(t) > 0)
 
+  /** (doc_id, term, tf) term-frequency table, the shared substrate of
+    * tfidfTopTerms and keywordSearch: tokenize → optional map-side term
+    * filter BELOW the explode (before any shuffle) → groupBy with
+    * partial aggregation. Materialized once — it always feeds at least
+    * two branches (a df derivation + a join), and Catalyst has no
+    * cross-branch CSE.
+    */
+  private def tfTable(documents: DataFrame,
+      termFilter: Option[Seq[String]]): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val kept = termFilter match {
+      case Some(ts) => tok.filter(col("term").isin(ts: _*))
+      case None => tok
+    }
+    graft.core.SparkUtil.materializeOnce(
+      kept.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+  }
+
   /** Global top-N most frequent word-k-grams with exact occurrence
     * counts (positional n-grams — repeats inside one document count; a
     * document shorter than k tokens contributes none). The classic
@@ -78,11 +97,7 @@ object CorpusStats {
     require(topPerDoc >= 1, s"need topPerDoc >= 1, got $topPerDoc")
     val documents = graft.core.SparkUtil.spread(documentsIn)
     val nDocs = documents.count()
-    val tf = graft.core.SparkUtil.materializeOnce(
-      documents
-        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf")))
+    val tf = tfTable(documents, None)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
@@ -169,6 +184,22 @@ object CorpusStats {
     * to broadcast in practice, and the per-doc partial agg collapses the
     * exploded rows straight back down.
     */
+  def tokenFreqScore(documentsIn: DataFrame): DataFrame = {
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    // explicit checkpoint: the explode is a Project in the UNANALYZED
+    // logical plan (Generate appears only after analysis), so
+    // materializeOnce's node heuristic cannot see it — without the
+    // boundary the scan+explode re-executes on both join branches
+    val tok = documents
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .localCheckpoint(true)
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("freq"))
+    tok.join(freq, "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("freq").as("sum_freq"))
+      .withColumn("mean_token_freq",
+        col("sum_freq").cast("double") / col("n_tokens"))
+  }
   /** Per-source token-length quantiles — the length-distribution report
     * behind truncation budgets, packing sequence lengths, and per-source
     * length filters. Quantile definition is pinned deterministically:
@@ -195,8 +226,13 @@ object CorpusStats {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
     val documents = graft.core.SparkUtil.spread(documentsIn)
+    // null text counts as 0 tokens: unguarded, a null count would sort
+    // NULLS FIRST in Spark but LAST in DuckDB (rank shift), and the
+    // sketch arm's percentile_approx would skip it while n_docs counts
+    // it — both arms and both engines must see the same value
     val counts = documents.select(col("source"), col("doc_id"),
-      TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+      coalesce(TextOps.tokenCount(col("text")).cast("long"), lit(0L))
+        .as("tokens"))
     if (approximate) {
       val qArr = array(qs.map(lit): _*)
       counts.groupBy("source")
@@ -250,12 +286,7 @@ object CorpusStats {
     require(terms.nonEmpty, "query has no terms")
     val documents = graft.core.SparkUtil.spread(documentsIn)
     val nDocs = documents.count()
-    val tf = graft.core.SparkUtil.materializeOnce(
-      documents
-        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-        .filter(col("term").isin(terms.toSeq: _*))
-        .groupBy("doc_id", "term")
-        .agg(count(lit(1)).as("tf")))
+    val tf = tfTable(documents, Some(terms.toSeq))
     val weights = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("w", floor(lit(nDocs * scale) / col("df")).cast("long"))
     tf.join(broadcast(weights), "term")
@@ -267,20 +298,4 @@ object CorpusStats {
       .select(col("doc_id"), col("n_terms"), col("score"))
   }
 
-  def tokenFreqScore(documentsIn: DataFrame): DataFrame = {
-    val documents = graft.core.SparkUtil.spread(documentsIn)
-    // explicit checkpoint: the explode is a Project in the UNANALYZED
-    // logical plan (Generate appears only after analysis), so
-    // materializeOnce's node heuristic cannot see it — without the
-    // boundary the scan+explode re-executes on both join branches
-    val tok = documents
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
-      .localCheckpoint(true)
-    val freq = tok.groupBy("term").agg(count(lit(1)).as("freq"))
-    tok.join(freq, "term")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("freq").as("sum_freq"))
-      .withColumn("mean_token_freq",
-        col("sum_freq").cast("double") / col("n_tokens"))
-  }
 }

@@ -19,11 +19,12 @@ class AsofJoinSpec extends SparkSpec {
       (4L, "u2", 500L)  // other key: r at 400
     ).toDF("event_id", "user", "t")
     val right = Seq(
-      (10L, "u1", 50L, "a"),
-      (11L, "u1", 100L, "b"),
-      (12L, "u1", 100L, "c"), // same ts as 11: greater id wins
-      (13L, "u2", 400L, "d"),
-      (14L, "u2", 600L, "e")  // after left 500: never attached
+      (10L, "u1", Option(50L), "a"),
+      (11L, "u1", Option(100L), "b"),
+      (12L, "u1", Option(100L), "c"), // same ts as 11: greater id wins
+      (13L, "u2", Option(400L), "d"),
+      (14L, "u2", Option(600L), "e"), // after left 500: never attached
+      (15L, "u1", None, "z")          // null time matches NOTHING
     ).toDF("rid", "user", "t", "tag")
     val out = AsofJoin.asofJoin(left, right, Seq("user"), "t",
       payloadCols = Seq("rid", "tag", "t"), tieCol = "rid", prefix = "r_")
