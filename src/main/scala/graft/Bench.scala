@@ -21,11 +21,12 @@ object Bench {
     "q_top3_per_flag", "q_doc_token_count", "q_doc_fingerprint",
     "q_doc_exact_dedup", "q_doc_quality", "q_doc_lang", "q_doc_lang_stats",
     "q_doc_split", "q_doc_sample", "q_doc_mix_sample",
-    "q_doc_importance_sample",
+    "q_doc_importance_sample", "q_doc_train_order",
     "q_doc_split_leakfree", "q_doc_curation", "q_doc_source_cap",
     "q_doc_minhash_neardup", "q_doc_ngram_jaccard", "q_doc_neardup_dedup",
     "q_doc_dup_spans",
-    "q_doc_span_coverage", "q_doc_repetition", "q_doc_gopher_quality",
+    "q_doc_span_coverage", "q_doc_span_removal", "q_doc_repetition",
+    "q_doc_gopher_quality",
     "q_doc_token_freq",
     "q_doc_pack", "q_doc_pack_seqs", "q_doc_pack_bestfit",
     "q_doc_pii_redact",
@@ -37,6 +38,7 @@ object Bench {
     "q_doc_length_quantiles", "q_doc_keyword_search",
     "q_doc_simhash_neardup", "q_doc_simhash128_neardup",
     "q_embed_norm", "q_embed_topk", "q_embed_ann_lsh", "q_embed_ann_ivf",
+    "q_embed_ann_pq",
     "q_embed_neardup", "q_embed_neardup_lsh", "q_multimodal_features",
     "q_cc_small", "q_kg_triples")
 
@@ -253,7 +255,13 @@ object Bench {
           catch { case _: Throwable => () }
         }
       }
-    val results = headline.flatMap { name =>
+    // TWO timed passes, per-query MIN: steal is one-sided (it only slows
+    // runs), so the min is the better estimate of each query's honest
+    // runtime and a single mid-pass storm burst can no longer inflate the
+    // whole headline (a round-4 run measured the same binary at 204 s vs
+    // 86 s across adjacent windows). Both pass totals are published for
+    // window attribution.
+    def timedPass(): Seq[(String, Double)] = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).count()
@@ -262,10 +270,16 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
+    val pass1 = timedPass()
+    val pass2 = timedPass()
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      n -> math.min(a, b)
+    }
     spark.stop()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val passTotals = f"""[${pass1.map(_._2).sum}%.3f,${pass2.map(_._2).sum}%.3f]"""
 
     tScale = System.nanoTime() // scaling budget starts now
     // Sampling loop (round-4 redesign; the old loop forced three
@@ -295,6 +309,7 @@ object Bench {
       // (a steal storm can triple the wall time), the file still carries
       // every sample collected so far
       writeBenchFile(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+        s""""headline_pass_totals":$passTotals,""" +
         s""""queries":$qs,"scaling":${scalingJson(partial = true)},"sf":"$sfDir"}""")
     // seed: one warm sample per level — the minimum reportable artifact
     // (no checkpoint until both levels have a sample: the scaling object
@@ -335,6 +350,7 @@ object Bench {
     }
 
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""headline_pass_totals":$passTotals,""" +
       s""""queries":$qs,"scaling":${scalingJson(partial = false)},"sf":"$sfDir"}"""
     // bare line on stdout (build.sbt sets outputStrategy := StdoutOutput so
     // sbt does not prefix it "[info] ") AND a file copy for the driver

@@ -312,6 +312,22 @@ object SparkEntry {
         refineIters = 2)
     }),
 
+    // IVF-PQ ANN — the compressed-domain third family (Jégou et al.
+    // 2011): 8-byte PQ codes scored by per-query ADC lookup tables
+    // inside nprobe inverted lists, exact cosine re-rank of the top
+    // refine·k (rows-only; witness: recall vs brute force + bit-exact
+    // re-ranked cosines). nprobe matches q_embed_ann_ivf; refine = 24
+    // because the weakly-clustered testdata's neighbors are ADC
+    // near-ties — at that depth PQ recovers plain IVF's full in-cell
+    // recall (~0.5, the probe-coverage ceiling) while the shortlist
+    // stays O(k): measured 0.32 @ refine=4 → 0.50 @ 24 at sf0.1
+    "q_embed_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 5)
+      graft.sim.Pq.pqTopK(emb, queriesDf, k = 10, nprobe = 8,
+        refine = 24, refineIters = 2)
+    }),
+
     // exact arm: the O(n²) broadcast baseline — kept as the DuckDB-oracle
     // form and the sf0.01 exactness anchor (same role as q_embed_topk);
     // the scale path is q_embed_neardup_lsh below
@@ -359,6 +375,14 @@ object SparkEntry {
     // inside ≥1 repeated span — the drop/down-weight decision signal
     "q_doc_span_coverage" -> ((s, dir) =>
       Dedup.spanCoverage(t(s, dir, "documents"), k = 10, minDocs = 2)),
+
+    // duplicated-span REMOVAL: rewrite every document with repeated-span
+    // token positions cut out, in order — the substring-dedup write path;
+    // the rewritten text itself is DuckDB-oracled (ordered string_agg
+    // over the anti-joined position table)
+    "q_doc_span_removal" -> ((s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), k = 10,
+        minDocs = 2)),
 
     // intra-document repetition metrics (the Gopher repetition-filter
     // family, Rae et al. 2021 table A1): per-doc top-n-gram character
@@ -478,6 +502,13 @@ object SparkEntry {
     "q_doc_source_cap" -> ((s, dir) =>
       Sampling.capPerSource(
         t(s, dir, "documents").select("doc_id", "source"), cap = 18)),
+
+    // deterministic global training order: shard = hash % n (balanced),
+    // position = row_number within shard over (hash, id) — nShards
+    // independent sorts instead of one global single-partition window;
+    // the full permutation is a pure function of (id, salt)
+    "q_doc_train_order" -> ((s, dir) =>
+      Sampling.trainOrder(t(s, dir, "documents"), nShards = 8)),
 
     // end-to-end curation funnel: exact-dedup → Gopher lexical quality →
     // repetition → benchmark decontamination (8-gram) → near-dup dedup
@@ -850,6 +881,35 @@ object SparkEntry {
         |  ELSE CAST(coalesce(cov.covered, 0) AS DOUBLE) / len(d.w)
         |  END AS coverage
         |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id""".stripMargin,
+
+    // span removal: kept text = ordered string_agg over token positions
+    // NOT under any repeated span (same d/sp/dup CTEs as the coverage
+    // oracle); fully-covered docs come back as empty strings
+    "q_doc_span_removal" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |s0 AS (SELECT doc_id, w,
+        |  unnest(generate_series(1, len(w) - 9)) AS i
+        | FROM d WHERE len(w) >= 10),
+        |sp AS (SELECT doc_id, i, array_to_string(w[i:i + 9], ' ') AS span
+        | FROM s0),
+        |dup AS (SELECT span FROM sp GROUP BY 1
+        | HAVING count(DISTINCT doc_id) >= 2),
+        |pos AS (SELECT DISTINCT doc_id, p FROM (
+        |  SELECT sp.doc_id, unnest(generate_series(sp.i, sp.i + 9)) AS p
+        |  FROM sp JOIN dup USING (span))),
+        |tok AS (SELECT d.doc_id, unnest(generate_series(1, len(d.w))) AS p,
+        |  w FROM d),
+        |kept AS (SELECT t.doc_id, count(*) AS kept_tokens,
+        |  string_agg(t.w[t.p], ' ' ORDER BY t.p) AS clean_text
+        | FROM tok t LEFT JOIN pos ON t.doc_id = pos.doc_id AND t.p = pos.p
+        | WHERE pos.p IS NULL GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        | CAST(len(d.w) - coalesce(k.kept_tokens, 0) AS BIGINT)
+        |  AS removed_tokens,
+        | coalesce(k.clean_text, '') AS clean_text
+        |FROM d LEFT JOIN kept k USING (doc_id)""".stripMargin,
 
     // every fraction is an integer-ratio double (mass/chars, covered/nt)
     // so the cross-engine hash compare is bit-exact; grams are built with
@@ -1310,6 +1370,17 @@ object SparkEntry {
         | < CASE source WHEN 'src0' THEN 4294967296
         |    WHEN 'src1' THEN 2147483648 WHEN 'src2' THEN 1073741824
         |    ELSE 429496729 END""".stripMargin,
+
+    // shard/pos both pure md5-hash functions; row_number partitioned by
+    // shard over (hash, id) matches Spark's window exactly
+    "q_doc_train_order" ->
+      """SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        | CAST(row_number() OVER (PARTITION BY h % 8
+        |   ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'),
+        |   1, 8))::UBIGINT AS BIGINT) AS h
+        | FROM documents)""".stripMargin,
 
     // same marker counts + CASE as q_doc_lang, aggregated; avg is one
     // IEEE division of exact integers (bit-identical cross-engine)

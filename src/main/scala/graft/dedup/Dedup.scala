@@ -492,6 +492,70 @@ object Dedup {
           .otherwise(col("covered_tokens").cast("double") / col("n_tokens")))
   }
 
+  /** Duplicated-span REMOVAL — the surgery that `duplicateSpans` /
+    * `spanCoverage` only measure: rewrite every document with the token
+    * positions covered by a repeated span (≥ `minDocs` distinct
+    * documents) cut out, in original order — the substring-dedup write
+    * path of Lee et al. ACL'22, re-expressed as relational ops. Output
+    * one row per document: (doc_id, n_tokens, removed_tokens,
+    * clean_text); untouched documents keep their full (normalized)
+    * token stream, fully-covered documents come back empty.
+    *
+    * Plan shape: the positional span table is built once (materialized —
+    * it feeds both the repeated-span aggregation and the covered-position
+    * explode; no-CSE rule); covered positions are a distinct (doc_id,
+    * pos) set; the rewrite is posexplode → anti-join covered →
+    * re-assemble per doc via sort_array(collect_list(struct(pos, tok)))
+    * — pos is unique per document, so the struct sort is a total order
+    * and the result is deterministic under any partitioning. The only
+    * text-bearing shuffle is the per-document re-assembly groupBy, which
+    * any rewrite must pay; spans and positions shuffle as slim keys.
+    * Every step is ANSI-SQL-expressible (ordered string_agg over the
+    * anti-joined position table), so the operator is DuckDB-oracled
+    * end-to-end including the rewritten text.
+    */
+  def removeDuplicateSpans(documentsIn: DataFrame, k: Int = 10,
+      minDocs: Int = 2): DataFrame = {
+    require(k >= 1 && minDocs >= 2,
+      s"need k >= 1 and minDocs >= 2, got k=$k minDocs=$minDocs")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val toksCol = filter(split(norm(col("text")), " "), t => length(t) > 0)
+    val base = documents
+      .select(col("doc_id"), toksCol.as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .localCheckpoint(true)
+    val sp = graft.core.SparkUtil.materializeOnce(
+      base.filter(col("n_tokens") >= k)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("toks")) - (k - 1)),
+          i => array_join(slice(col("toks"), i, lit(k)), " "))))
+        .select(col("doc_id"), (col("pos") + 1).as("start"),
+          col("col").as("span")))
+    val dup = sp.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("span")
+    val covered = sp.join(dup, "span")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val tokPos = base
+      .select(col("doc_id"), col("n_tokens"), posexplode(col("toks")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("tok"))
+    val kept = tokPos.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ").as("clean_text"))
+    base.select("doc_id", "n_tokens")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("kept_tokens"), lit(0L)))
+          .as("removed_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Benchmark decontamination — the evaluation-set n-gram-overlap scan
     * from the published LM training-data methodology (GPT-3's 13-gram
     * test-set filter, Brown et al. 2020 appendix C; Dodge et al. 2021's

@@ -167,6 +167,37 @@ object Sampling {
     pass.unionByName(capped).select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Deterministic global training order — the "shuffle the corpus before
+    * training" step, made reproducible and cluster-shaped: every row gets
+    * a shard (its output file) and a position within the shard, both pure
+    * functions of (id, salt). Readers stream shard files in shard order
+    * and rows in position order and see the same permutation on any
+    * engine, any partitioning, any re-run — `ORDER BY rand()` gives none
+    * of that.
+    *
+    * Scale shape: a GLOBAL row_number would be one giant window (a
+    * single-partition sort — the classic scale trap). Instead the
+    * permutation is hierarchical: shard = hash % nShards (uniform, so
+    * shards are balanced), position = row_number within shard ordered by
+    * (hash, id) — a window PARTITIONED BY shard, i.e. nShards
+    * independent sorts that scale out. Hash-ordering within shards means
+    * document order is decorrelated from ingest order (the point of
+    * shuffling), and the (hash, id) tie-break makes the permutation
+    * total. Fully ANSI-SQL-expressible → DuckDB-oracled exactly.
+    */
+  def trainOrder(df: DataFrame, nShards: Int, idCol: String = "doc_id",
+      salt: String = "v1"): DataFrame = {
+    require(nShards >= 1, s"need nShards >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = bucketHash(col(idCol), salt)
+    df.select(col(idCol), h.as("__h"))
+      .withColumn("shard", (col("__h") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("__h").asc, col(idCol).asc)).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** Deterministic subsample at full 32-bit granularity: keep rows whose
     * hash falls under fraction × 2^32. Unlike `df.sample` (seeded RNG over
     * a partition iterator — resolution-dependent and engine-private), the

@@ -39,6 +39,7 @@ object Drive {
     if (sys.env.contains("DRIVE_SIMHASH")) { simhashCheck(); return }
     if (sys.env.contains("DRIVE_RECONCILE")) { reconcileCheck(); return }
     if (sys.env.contains("DRIVE_CORPUS")) { corpusCheck(); return }
+    if (sys.env.contains("DRIVE_S8")) { session8Check(); return }
     if (sys.env.contains("DRIVE_SAMPLING")) { samplingCheck(); return }
     if (sys.env.contains("DRIVE_REPPACK")) { repPackCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
@@ -398,6 +399,48 @@ object Drive {
     val tfidf = graft.text.CorpusStats.tfidfTopTerms(docs, topPerDoc = 3)
     time("tfidf count")(println(s"  rows=${tfidf.count()}"))
     tfidf.filter(col("doc_id") === 1).show(5, truncate = false)
+    s.stop()
+  }
+
+  /** Session-8 drive at sf0.1: IVF-PQ ANN end-to-end (recall vs brute
+    * force, compression plan evidence), span removal (volume + invariant),
+    * and the training-order permutation (balance + determinism).
+    */
+  def session8Check(): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = session(32)
+    val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"  $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = graft.sim.Similarity.bruteForceTopK(emb, queries, k = 10)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = time("pqTopK")(graft.sim.Pq.pqTopK(emb, queries, k = 10,
+      nprobe = sys.env.getOrElse("DRIVE_NPROBE", "8").toInt,
+      refine = sys.env.getOrElse("DRIVE_REFINE", "4").toInt,
+      refineIters = 2))
+    val got = pq.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"  pq rows=${got.size} recall=${
+      (got & brute).size.toDouble / brute.size}")
+    pq.show(5, truncate = false)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val cleaned = time("removeDuplicateSpans")(
+      graft.dedup.Dedup.removeDuplicateSpans(docs, k = 10, minDocs = 2))
+    val agg = cleaned.agg(sum("removed_tokens"), sum("n_tokens"),
+      count(lit(1))).collect()(0)
+    println(s"  removed=${agg.getLong(0)} of ${agg.getLong(1)} tokens " +
+      s"across ${agg.getLong(2)} docs")
+    cleaned.filter(col("removed_tokens") > 0)
+      .select("doc_id", "n_tokens", "removed_tokens").show(3)
+    val order = time("trainOrder")(
+      graft.ops.Sampling.trainOrder(docs, nShards = 8))
+    order.groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("maxp"))
+      .orderBy("shard").show()
     s.stop()
   }
 

@@ -158,6 +158,31 @@ class TestdataWitnessSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall vs exact top-10: $recall")
   }
 
+  test("q_embed_ann_pq @ sf0.01: cosines bit-exact vs kernel; full top-10 " +
+      "per query; majority recall vs exact top-10") {
+    assume(has("embeddings"))
+    val out = SparkEntry.queries("q_embed_ann_pq")(spark, sfDir)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    // the exact re-rank emits TRUE cosines: bit-exact vs the kernel
+    out.foreach { case (q, c, cos, _) =>
+      assert(cos == TextHash.cosine(vecs(c), vecs(q)),
+        s"cos($q,$c) not bit-exact")
+    }
+    assert(out.length == 50)
+    val exact = SparkEntry.queries("q_embed_topk")(spark, sfDir)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val got = out.map(r => (r._1, r._2)).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    // ADC shortlisting inside the same probed cells costs a little
+    // recall vs plain IVF's exact in-cell scoring — the 32× compression
+    // tradeoff; majority recall must hold on the weakly-clustered corpus
+    assert(recall >= 0.5, s"IVF-PQ recall vs exact top-10: $recall")
+  }
+
   test("q_embed_ann_lsh @ sf0.01: cosines bit-exact vs kernel; pinned rows") {
     assume(has("embeddings"))
     val out = SparkEntry.queries("q_embed_ann_lsh")(spark, sfDir)

@@ -370,6 +370,51 @@ class DedupSpec extends SparkSpec {
     assert(got(1L)._3 > 0.5, s"boiler-heavy doc must score high: ${got(1L)}")
   }
 
+  test("span removal: covered positions cut in order, clean docs " +
+      "unchanged, counts reconcile with coverage") {
+    val boiler =
+      "please read these terms and conditions very carefully before you proceed further"
+    val local = Seq(
+      1L -> s"intro one two $boiler outro alpha beta gamma",
+      2L -> s"different lead-in text here $boiler and a tail",
+      3L -> s"third document also contains $boiler somewhere inside it",
+      4L -> "a unique document with no repeated ten gram span at all kappa",
+      5L -> "short doc", 6L -> "")
+    val d = local.toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(d, k = 10, minDocs = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got.keySet == local.map(_._1).toSet)
+    // brute force: positional spans → dup set → cut covered positions
+    val spans = local.flatMap { case (id, t) =>
+      val w = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      (0 to w.length - 10).map(i => (id, i, w.slice(i, i + 10).mkString(" ")))
+    }
+    val dupSet = spans.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    local.foreach { case (id, t) =>
+      val w = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      val covered = spans.filter(s => s._1 == id && dupSet(s._3))
+        .flatMap(s => s._2 until s._2 + 10).toSet
+      val cleanExp = w.zipWithIndex.collect {
+        case (tok, i) if !covered(i) => tok
+      }.mkString(" ")
+      val expect = (w.length.toLong, covered.size.toLong, cleanExp)
+      assert(got(id) == expect, s"doc $id: ${got(id)} != $expect")
+    }
+    // uncovered docs keep their full normalized token stream
+    assert(got(4L)._2 == 0L &&
+      got(4L)._3 == local.toMap.apply(4L).toLowerCase)
+    assert(got(6L) == ((0L, 0L, "")))
+    // counts reconcile with spanCoverage exactly
+    val cov = Dedup.spanCoverage(d, k = 10, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    got.foreach { case (id, (_, removed, _)) =>
+      assert(removed == cov(id), s"doc $id removed $removed != cov ${cov(id)}")
+    }
+  }
+
   test("survivors removes every non-canonical near-dup") {
     val dups = Dedup.minhashNearDups(docsDf, threshold = 0.5)
     val kept = Dedup.survivors(docsDf, dups)

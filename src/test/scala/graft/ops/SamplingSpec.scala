@@ -171,4 +171,29 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"split must not shuffle:\n${plan.take(1000)}")
   }
+
+  test("trainOrder: a total, balanced, deterministic permutation that is " +
+      "decorrelated from id order") {
+    val out = Sampling.trainOrder(ids, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every doc exactly once
+    assert(out.length == 10000 && out.map(_._1).distinct.length == 10000)
+    // positions are 1..count per shard (dense, no gaps)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // shards are hash-balanced: each within 3σ of 1250
+    val sizes = out.groupBy(_._2).values.map(_.length)
+    assert(sizes.size == 8 && sizes.forall(n => math.abs(n - 1250) < 120),
+      s"unbalanced shards: $sizes")
+    // deterministic under repartitioning
+    val again = Sampling.trainOrder(ids.repartition(13), nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // decorrelated from ingest order: consecutive ids rarely adjacent in
+    // the permutation (shard 0's first 100 positions span the id range)
+    val s0 = out.filter(_._2 == 0).sortBy(_._3).take(100).map(_._1)
+    assert(s0.max - s0.min > 5000, "shard order correlated with id order")
+  }
 }
