@@ -23,7 +23,8 @@ object Bench {
     "q_doc_split", "q_doc_sample", "q_doc_mix_sample",
     "q_doc_importance_sample", "q_doc_train_order",
     "q_doc_split_leakfree", "q_doc_curation", "q_doc_source_cap",
-    "q_doc_minhash_neardup", "q_doc_ngram_jaccard", "q_doc_neardup_dedup",
+    "q_doc_minhash_neardup", "q_doc_minhash_incremental",
+    "q_doc_ngram_jaccard", "q_doc_neardup_dedup",
     "q_doc_dup_spans",
     "q_doc_span_coverage", "q_doc_span_removal", "q_doc_repetition",
     "q_doc_gopher_quality",

@@ -347,6 +347,18 @@ object SparkEntry {
     "q_doc_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)),
 
+    // incremental near-dup: dedup the newest 20% of the corpus against
+    // the persisted LSH index of the other 80% WITHOUT re-hashing old
+    // text — the crawl-refresh pattern (rows-only; witness: EQUALS the
+    // full-corpus pair set restricted to pairs touching the batch)
+    "q_doc_minhash_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 5 =!= 0)
+      val fresh = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.minhashNearDupsIncremental(Dedup.minhashIndex(old),
+        old, fresh, threshold = 0.5)
+    }),
+
     // exact n-gram Jaccard join (AllPairs prefix filter, full recall) —
     // the one near-dup operator that is ANSI-SQL-expressible, so it
     // carries a full DuckDB oracle rather than a rows-only witness

@@ -100,6 +100,80 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Persisted MinHash-LSH index of a corpus snapshot: the
+    * (doc_id, band, bucket) banding table of `minhashNearDups`, exposed
+    * so a continuously-growing corpus can write it once (bucketed
+    * Parquet by (band, bucket) at scale) and dedup every later increment
+    * against it WITHOUT re-hashing a byte of old text — the pattern that
+    * keeps crawl-refresh dedup linear in the increment, not the corpus.
+    */
+  def minhashIndex(documentsIn: DataFrame, perms: Int = 32, bands: Int = 8,
+      k: Int = 3): DataFrame = {
+    val rows = perms / bands
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val sigs = documents.select(col("doc_id"),
+      minhashSignature(col("text"), perms, k).as("sig"))
+    sigs.withColumn("band", explode(sequence(lit(0), lit(bands - 1))))
+      .withColumn("bucket",
+        xxhash64(col("band"),
+          array_join(slice(col("sig"), col("band") * rows + 1, lit(rows)), ",")))
+      .select(col("doc_id"), col("band"), col("bucket"))
+  }
+
+  /** Incremental near-dup detection: all near-duplicate pairs with AT
+    * LEAST ONE side in the new batch — (new × old) via the persisted
+    * `index`, plus (new × new) via a self-join — without re-banding the
+    * old corpus. Banding is deterministic, so the result EQUALS the
+    * full-corpus `minhashNearDups(old ∪ new)` restricted to pairs
+    * touching the batch (the committed witness asserts exactly that).
+    *
+    * Scale shape: the old corpus contributes only its (band, bucket,
+    * doc_id) index rows — at 100 TB the index equi-join prunes to the
+    * buckets the batch actually hits (partition pruning on a bucketed
+    * index table), old TEXT is touched only for verified candidates via
+    * the final semi-join on `corpusTexts`, and the batch itself is
+    * hashed once. Output (doc_a, doc_b, jaccard) with doc_a < doc_b,
+    * exactly like `minhashNearDups`.
+    *
+    * @param index       `minhashIndex` of the snapshot (old docs only)
+    * @param corpusTexts (doc_id, text) of the snapshot — the corpus
+    *                    table itself; only candidate ids read it
+    * @param newDocs     the increment (ids disjoint from the snapshot)
+    */
+  def minhashNearDupsIncremental(index: DataFrame, corpusTexts: DataFrame,
+      newDocs: DataFrame, perms: Int = 32, bands: Int = 8, k: Int = 3,
+      threshold: Double = 0.7): DataFrame = {
+    // new-batch banding, materialized: it feeds BOTH the index join and
+    // its own self-join (no-CSE rule)
+    val newBanded = minhashIndex(newDocs, perms, bands, k)
+      .localCheckpoint(true)
+    val newSide = newBanded.select(col("band"), col("bucket"),
+      col("doc_id").as("new_id"))
+    val oldPairs = newSide
+      .join(index.select(col("band"), col("bucket"),
+        col("doc_id").as("old_id")), Seq("band", "bucket"))
+      .filter(col("old_id") =!= col("new_id")) // guard: overlapping ids
+      .select(least(col("old_id"), col("new_id")).as("doc_a"),
+        greatest(col("old_id"), col("new_id")).as("doc_b"))
+    val newPairs = newSide
+      .join(newBanded.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b")), Seq("band", "bucket"))
+      .filter(col("new_id") < col("doc_b"))
+      .select(col("new_id").as("doc_a"), col("doc_b"))
+    val pairs = oldPairs.unionByName(newPairs)
+      .dropDuplicates("doc_a", "doc_b")
+    val texts = corpusTexts.select(col("doc_id"), col("text"))
+      .unionByName(newDocs.select(col("doc_id"), col("text")))
+    pairs
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+        Seq("doc_a"))
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard", jaccardUdf(k)(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Shingle Jaccard similarity of two texts. */
   def jaccardUdf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((a: String, b: String) => TextHash.jaccardShingles(a, b, k))

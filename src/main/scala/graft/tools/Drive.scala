@@ -437,6 +437,12 @@ object Drive {
       s"across ${agg.getLong(2)} docs")
     cleaned.filter(col("removed_tokens") > 0)
       .select("doc_id", "n_tokens", "removed_tokens").show(3)
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 5 === 0)
+    val inc = time("minhashNearDupsIncremental")(
+      graft.dedup.Dedup.minhashNearDupsIncremental(
+        graft.dedup.Dedup.minhashIndex(old), old, fresh, threshold = 0.5))
+    println(s"  incremental pairs=${inc.count()}")
     val order = time("trainOrder")(
       graft.ops.Sampling.trainOrder(docs, nShards = 8))
     order.groupBy("shard").agg(count(lit(1)).as("n"), max("pos").as("maxp"))

@@ -158,6 +158,18 @@ class TestdataWitnessSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall vs exact top-10: $recall")
   }
 
+  test("q_doc_minhash_incremental @ sf0.01 EQUALS the full-corpus pair " +
+      "set restricted to pairs touching the batch") {
+    assume(has("documents"))
+    val inc = SparkEntry.queries("q_doc_minhash_incremental")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = SparkEntry.queries("q_doc_minhash_neardup")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val expected = full.filter(p => p._1 % 5 == 0 || p._2 % 5 == 0)
+    assert(inc == expected, s"inc ${inc.size} vs expected ${expected.size}")
+    assert(inc.nonEmpty)
+  }
+
   test("q_embed_ann_pq @ sf0.01: cosines bit-exact vs kernel; full top-10 " +
       "per query; majority recall vs exact top-10") {
     assume(has("embeddings"))

@@ -415,6 +415,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash near-dup EQUALS the full-corpus pair set " +
+      "restricted to pairs touching the batch; old text never re-banded") {
+    // batch = the near/exact copies (ids ≥ 100); snapshot = originals
+    val old = docsDf.filter(col("doc_id") < 100)
+    val fresh = docsDf.filter(col("doc_id") >= 100)
+    val idx = Dedup.minhashIndex(old)
+    val inc = Dedup.minhashNearDupsIncremental(idx, old, fresh,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Dedup.minhashNearDups(docsDf, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter(p => p._1 >= 100 || p._2 >= 100)
+    assert(inc == expected,
+      s"inc ${inc.size} vs expected ${expected.size}")
+    assert(inc.nonEmpty) // copies of originals must surface
+    // old-only pairs are the index's job from its own epoch: none here
+    assert(inc.forall(p => p._1 >= 100 || p._2 >= 100))
+    // determinism: a second run over a repartitioned batch is identical
+    val again = Dedup.minhashNearDupsIncremental(idx, old,
+        fresh.repartition(5), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(again == inc)
+  }
+
   test("survivors removes every non-canonical near-dup") {
     val dups = Dedup.minhashNearDups(docsDf, threshold = 0.5)
     val kept = Dedup.survivors(docsDf, dups)
