@@ -40,6 +40,8 @@ object Drive {
     if (sys.env.contains("DRIVE_RECONCILE")) { reconcileCheck(); return }
     if (sys.env.contains("DRIVE_CORPUS")) { corpusCheck(); return }
     if (sys.env.contains("DRIVE_S8")) { session8Check(); return }
+    if (sys.env.contains("DRIVE_PLANS")) { planCostCheck(); return }
+    if (sys.env.contains("DRIVE_1T")) { oneThreadProbe(); return }
     if (sys.env.contains("DRIVE_SAMPLING")) { samplingCheck(); return }
     if (sys.env.contains("DRIVE_REPPACK")) { repPackCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
@@ -399,6 +401,74 @@ object Drive {
     val tfidf = graft.text.CorpusStats.tfidfTopTerms(docs, topPerDoc = 3)
     time("tfidf count")(println(s"  rows=${tfidf.count()}"))
     tfidf.filter(col("doc_id") === 1).show(5, truncate = false)
+    s.stop()
+  }
+
+  /** Single-thread window probe — the pre-flight check for scaling-bench
+    * launches. The 32-thread barometer (DRIVE_RECONCILE) misses the 1t
+    * failure mode: sustained co-tenant load depresses single-core BOOST
+    * clocks while 4-thread base clocks stay at their floor, so whole
+    * bench runs land `converged_1t: false` with a quiet barometer. This
+    * probe runs the scaling workload itself at 1 thread at 1/8 scale
+    * (~20 s quiet) plus a 1-thread spin, printing both; launch the bench
+    * only when the probe sits at its observed floor.
+    */
+  def oneThreadProbe(): Unit = {
+    val t0s = System.nanoTime()
+    var h = 0L; var i = 0L
+    while (System.nanoTime() - t0s < 1000000000L) {
+      h = graft.text.TextHash.mix(h, i); i += 1
+    }
+    println(f"  spin_1t: ${i / 1000.0 / 1000.0}%.1f Mmix/s (h=${h != 0})")
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s = SparkSession.builder().master("local[1]")
+      .appName("probe-1t")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.default.parallelism", "4")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.codegen.wholeStage", "false")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    import graft.kg.KgPipeline
+    val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "28000").toLong / 8
+    val cfg = KgPipeline.Config(outDir = "", nConv = scale,
+      turnsPerConv = 8, nConcepts = 2000L)
+    KgPipeline.buildGraph(KgPipeline.extractMappings(s, cfg)).count() // warm
+    val t0 = System.nanoTime()
+    val n = KgPipeline.buildGraph(KgPipeline.extractMappings(s, cfg)).count()
+    println(f"  kg_1t @$scale conv: ${(System.nanoTime() - t0) / 1e9}%.2f s " +
+      s"(triples=$n)")
+    s.stop()
+  }
+
+  /** Executed-plan cost diagnostics for the most expensive headline
+    * queries at sf0.1: wall time plus parquet re-scan and exchange
+    * counts (the no-CSE blowup detector — 18 re-scans once hid inside a
+    * 3-branch reconcile).
+    */
+  def planCostCheck(): Unit = {
+    val s = session(32)
+    val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
+    val names = sys.env.get("DRIVE_PLANS").filter(_ != "1")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("q_doc_curation", "q_doc_neardup_dedup",
+        "q_doc_ngram_jaccard", "q_doc_decontaminate_fuzzy",
+        "q_doc_split_leakfree", "q_doc_pack_seqs"))
+    names.foreach { n =>
+      val fn = graft.SparkEntry.queries(n)
+      fn(s, dir).count() // warm pass (JIT + codegen)
+      // time construction + execution together: eager localCheckpoints
+      // inside operators run at construction, exactly as the bench times
+      val t0 = System.nanoTime()
+      val df = fn(s, dir)
+      val cnt = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      val exch = "Exchange".r.findAllIn(plan).length
+      println(f"  $n%-28s $sec%6.2f s rows=$cnt%-8d scans=$scans exchanges=$exch (post-ckpt plan)")
+    }
     s.stop()
   }
 
