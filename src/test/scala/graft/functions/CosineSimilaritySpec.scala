@@ -80,4 +80,49 @@ class CosineSimilaritySpec extends SparkSpec {
       .collect().head.getDouble(0)
     assert(r3 == 5.0)
   }
+
+  test("SrpSignature native expression is bit-identical to the kernel, " +
+      "column-seeded, codegen'd, and SQL-registered") {
+    val rows = (0L until 60L).map(i => (i, vec(i, 24)))
+    val df = rows.toDF("id", "v").repartition(2)
+    // literal seed path (Similarity.srpSignature public API)
+    val got = df.select(col("id"),
+        graft.sim.Similarity.srpSignature(col("v"), bits = 16, seed = 42L)
+          .as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (i, v) =>
+      val expect = TextHash.srpSignature(v.toSeq, 16, 42L)
+      assert(got(i) == expect, s"row $i: ${got(i)} != $expect")
+    }
+    // column-derived seed (the banded multi-table path): one expression,
+    // per-row seeds
+    import org.apache.spark.sql.GraftColumnBridge
+    def srpCol(vec: org.apache.spark.sql.Column,
+        seed: org.apache.spark.sql.Column) =
+      GraftColumnBridge.column(SrpSignature(
+        GraftColumnBridge.expression(vec),
+        GraftColumnBridge.expression(seed.cast("long")), 12))
+    val banded = df.withColumn("table", explode(sequence(lit(0), lit(2))))
+      .select(col("id"), col("table"),
+        srpCol(col("v"), lit(7700L) + col("table")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(banded.size == 180)
+    rows.take(10).foreach { case (i, v) =>
+      (0 to 2).foreach { t =>
+        val expect = TextHash.srpSignature(v.toSeq, 12, 7700L + t)
+        assert(banded((i, t)) == expect, s"row $i table $t")
+      }
+    }
+    val plan = df.repartition(2)
+      .select(graft.sim.Similarity.srpSignature(col("v"), 16, 42L).as("s"))
+    plan.collect()
+    val p = plan.queryExecution.executedPlan.toString
+    assert(p.contains("graft_srp_sig") && !p.contains("ScalaUDF"),
+      p.take(600))
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_srp_sig(array(1.0, -2.0, 0.5), 16, 42)")
+      .collect().head.getLong(0)
+    assert(r == TextHash.srpSignature(Seq(1.0f, -2.0f, 0.5f), 16, 42L))
+  }
 }
