@@ -40,7 +40,8 @@ object Bench {
     "q_doc_simhash_neardup", "q_doc_simhash128_neardup",
     "q_embed_norm", "q_embed_topk", "q_embed_ann_lsh", "q_embed_ann_ivf",
     "q_embed_ann_pq",
-    "q_embed_neardup", "q_embed_neardup_lsh", "q_multimodal_features",
+    "q_embed_neardup", "q_embed_neardup_lsh", "q_embed_neardup_dedup",
+    "q_multimodal_features",
     "q_cc_small", "q_kg_triples")
 
   private def session(threads: Int, codegen: Boolean = true,

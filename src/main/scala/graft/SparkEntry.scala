@@ -343,6 +343,19 @@ object SparkEntry {
       Similarity.cosineNearDups(t(s, dir, "embeddings"), threshold = 0.4,
         exact = false)),
 
+    // complete embedding dedup decision: exact cosine pairs → transitive
+    // clusters → min-id representative — the same pairs→CC→keep flow as
+    // q_doc_neardup_dedup, composed over embeddings and DuckDB-oracled
+    // end-to-end (cosine pair SQL + recursive-CTE closure)
+    "q_embed_neardup_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.cosineNearDups(emb, threshold = 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.nearDupDedup(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster"),
+          col("n_members"), col("keep"))
+    }),
+
     // ---- near-dup detection (LSH family; rows-only checks) ----
     "q_doc_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)),
@@ -1552,6 +1565,27 @@ object SparkEntry {
         |   CAST(b.embedding AS DOUBLE[])) AS cos
         | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.4""".stripMargin,
+
+    // same pair SQL + the recursive-CTE transitive closure of
+    // q_doc_neardup_dedup, over embeddings
+    "q_embed_neardup_dedup" ->
+      """WITH RECURSIVE p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        | FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |   CAST(b.embedding AS DOUBLE[])) >= 0.4),
+        |und AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+        |reach(node, comp) AS (
+        | SELECT a, a FROM und
+        | UNION
+        | SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node),
+        |lab AS (SELECT node, min(comp) AS comp FROM reach GROUP BY node),
+        |alld AS (SELECT e.vec_id, coalesce(l.comp, e.vec_id) AS cluster
+        | FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id),
+        |szc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members
+        | FROM alld GROUP BY 1)
+        |SELECT a.vec_id, a.cluster, s.n_members,
+        | a.vec_id = a.cluster AS keep
+        |FROM alld a JOIN szc s ON a.cluster = s.cluster""".stripMargin,
 
     "q_multimodal_features" ->
       """WITH m AS (SELECT doc_id, md5(text) AS x FROM documents),

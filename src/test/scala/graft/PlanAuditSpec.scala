@@ -72,7 +72,12 @@ class PlanAuditSpec extends SparkSpec {
     // the LSH witnesses); every other doc/embed operator must plan as
     // bucketed equi-joins — a cartesian that sneaks into an LSH path is
     // exactly the shape that dies at corpus scale
-    val exempt = Set("q_embed_topk", "q_embed_neardup")
+    // q_embed_neardup_dedup composes the exact pair arm (its oracle
+    // anchor) — the cross join hides behind the CC checkpoint boundary,
+    // so the plan string can't see it; exempted explicitly for honesty.
+    // Its scale path is the same composition over the LSH pair arm.
+    val exempt = Set("q_embed_topk", "q_embed_neardup",
+      "q_embed_neardup_dedup")
     Bench.headline
       .filter(q => q.startsWith("q_doc_") || q.startsWith("q_embed_"))
       .filterNot(exempt)
