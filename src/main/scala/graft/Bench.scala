@@ -85,6 +85,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val tMain = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // Sizing (re-measured after the round-4 reconcile de-blowup — which
@@ -305,7 +306,18 @@ object Bench {
     //    it to a HARD cap sized inside the driver's observed patience
     //    (round 3 got 1338 s of sbt time — the internal 600 s cap, not
     //    the driver, ended that run unconverged).
-    val hardSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_HARD", "1080").toInt
+    // The external runner's observed patience covers the WHOLE sbt
+    // invocation (round-3 measured ~1338 s before a kill), and the
+    // two-pass headline now precedes scaling — if a storm stretches the
+    // headline, a fixed scaling cap would plan past the runner's kill
+    // and die before the retry draws it planned for. Shrink both scaling
+    // caps by the time already spent (compile + warmup + both headline
+    // passes), keeping a floor that always allows the two seed samples.
+    val patienceSec = sys.env.getOrElse("SPARK_GRAFT_PATIENCE", "1280").toInt
+    val spentSec = ((System.nanoTime() - tMain) / 1e9).toInt
+    val hardSec = math.max(420,
+      math.min(sys.env.getOrElse("SPARK_GRAFT_SCALE_HARD", "1080").toInt,
+        patienceSec - spentSec))
     def checkpoint(): Unit =
       // incremental: if an external timeout kills this JVM mid-protocol
       // (a steal storm can triple the wall time), the file still carries
@@ -329,7 +341,8 @@ object Bench {
         val xs = if (level == 4) fs else ns
         val conv = if (level == 4) c4 else c1
         xs.length < 12 &&
-          elapsed + xs.map(_.sec).min <= (if (conv) budgetSec else hardSec)
+          elapsed + xs.map(_.sec).min <=
+            (if (conv) math.min(budgetSec, hardSec) else hardSec)
       }
       val level = BenchProtocol.nextLevel(c4, c1, sinceLast1,
         affordable(4), affordable(1))
