@@ -32,6 +32,7 @@ object Bench {
     "q_doc_pack", "q_doc_pack_seqs", "q_doc_pack_bestfit",
     "q_doc_pii_redact",
     "q_event_json_rollup", "q_event_hourly", "q_event_asof",
+    "q_skew_key_audit", "q_skew_salted_agg", "q_skew_salted_join",
     "q_doc_decontaminate",
     "q_doc_decontaminate_bloom", "q_doc_decontaminate_fuzzy",
     "q_doc_top_ngrams",

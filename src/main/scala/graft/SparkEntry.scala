@@ -211,6 +211,34 @@ object SparkEntry {
           (col("ms") - col("v_ms")).as("gap_ms"))
     }),
 
+    // ---- explicit skew handling (ops/Skew.scala) ----
+
+    // hot-key audit: the heaviest join/agg keys with exact corpus share
+    // — the diagnostic a pipeline runs before choosing salting vs
+    // broadcast vs AQE; ties break on the key string
+    "q_skew_key_audit" -> ((s, dir) =>
+      graft.ops.Skew.keyStats(t(s, dir, "events")
+        .select(col("event_type")), "event_type", topN = 10)),
+
+    // salted two-stage aggregation: (key, salt) partials spread a hot
+    // key over 16 reducers, second stage collapses — results
+    // bit-identical to the direct groupBy (integer sums are order-free)
+    "q_skew_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedAggregate(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", sums = Seq("n_chars"), salts = 16)),
+
+    // salted equi-join: build side replicated ×16, probe routed by row
+    // hash — a skewed probe key's rows scatter across 16 tasks; same
+    // rows as the plain join (the oracle)
+    "q_skew_salted_join" -> ((s, dir) => {
+      val probe = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val build = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      graft.ops.Skew.saltedJoin(probe, build, "l_orderkey", salts = 16)
+    }),
+
     // semi-structured columns: typed from_json extraction (Catalyst
     // JsonToStructs, not string hacks) feeding a partial-agg rollup —
     // the log-metadata parse every event pipeline runs before anything
@@ -1047,6 +1075,23 @@ object SparkEntry {
         |  AND frac_alpha >= 0.8 AND symbol_ratio <= 0.1
         |  AND stop_hits >= 2) AS keep
         |FROM f""".stripMargin,
+
+    // share = n/total, one IEEE division of exact integers
+    "q_skew_key_audit" ->
+      """SELECT CAST(event_type AS VARCHAR) AS key, count(*) AS n,
+        | CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM events) AS share
+        |FROM events GROUP BY 1 ORDER BY n DESC, key ASC LIMIT 10""".stripMargin,
+
+    // the salted two-stage result must equal the direct aggregation
+    "q_skew_salted_agg" ->
+      """SELECT source, count(*) AS n,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // the salted join must return exactly the plain join's rows
+    "q_skew_salted_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
 
     "q_event_hourly" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
