@@ -28,7 +28,7 @@ object Bench {
     "q_doc_dup_spans",
     "q_doc_span_coverage", "q_doc_span_removal", "q_doc_repetition",
     "q_doc_gopher_quality",
-    "q_doc_token_freq",
+    "q_doc_model_quality", "q_doc_token_freq",
     "q_doc_pack", "q_doc_pack_seqs", "q_doc_pack_bestfit",
     "q_doc_pii_redact",
     "q_event_json_rollup", "q_event_hourly", "q_event_asof",

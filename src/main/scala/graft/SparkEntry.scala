@@ -444,6 +444,13 @@ object SparkEntry {
     "q_doc_repetition" -> ((s, dir) =>
       TextOps.repetitionMetrics(t(s, dir, "documents"))),
 
+    // model-based quality filter (the classifier stage of CCNet/FineWeb
+    // pipelines): hashed bag-of-words linear inference, one token
+    // explode + one per-doc partial agg — the stub weight hash swaps
+    // for a broadcast trained-weight map without touching the plan
+    "q_doc_model_quality" -> ((s, dir) =>
+      TextOps.modelQualityScore(t(s, dir, "documents"))),
+
     // corpus-statistics quality score: mean corpus frequency of each
     // document's tokens — the integer-ratio unigram-LM stand-in (log()
     // is not bit-exact cross-engine); vocab derives from the same
@@ -1026,6 +1033,26 @@ object SparkEntry {
         |  AND dup8_frac <= 0.12 AND dup9_frac <= 0.11
         |  AND dup10_frac <= 0.10) AS keep
         |FROM f""".stripMargin,
+
+    // mean hashed weight = one IEEE division of an exact BIGINT sum by
+    // an exact product; same md5 hash point as the samplers
+    "q_doc_model_quality" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS tok FROM d),
+        |a AS (SELECT doc_id, count(*) AS n_scored,
+        |  sum(CAST(('0x' || substr(md5(tok || ':qw1'), 1, 8))::UBIGINT
+        |   AS BIGINT)) AS sw
+        | FROM tok GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(a.n_scored, 0) AS BIGINT) AS n_scored,
+        | CASE WHEN a.n_scored IS NULL THEN 0.0
+        |  ELSE CAST(a.sw AS DOUBLE) /
+        |   (CAST(a.n_scored AS DOUBLE) * 4294967296.0) END AS score,
+        | CASE WHEN a.n_scored IS NULL THEN FALSE
+        |  ELSE CAST(a.sw AS DOUBLE) /
+        |   (CAST(a.n_scored AS DOUBLE) * 4294967296.0) >= 0.5 END AS keep
+        |FROM d LEFT JOIN a USING (doc_id)""".stripMargin,
 
     "q_doc_token_freq" ->
       """WITH tok AS (SELECT doc_id, unnest(list_filter(

@@ -219,4 +219,47 @@ object TextOps {
         col("r._2").as("n_chars") +: (topCols ++ dupCols): _*)
       .withColumn("keep", keep)
   }
+
+  /** Model-based quality scoring — the classifier-filter stage of the
+    * published web-corpus pipelines (fastText quality classifiers in
+    * CCNet/LLaMA, the FineWeb-Edu / DCLM educational-quality scorers):
+    * a hashed bag-of-words LINEAR model scored entirely map-side. Each
+    * token looks up a weight, the document score is the mean weight,
+    * and `keep` thresholds it.
+    *
+    * The weight function here is a deterministic hash STUB (uniform in
+    * [0,1) from the shared md5 hash point) — this operator is the
+    * inference PLUMBING, which is the part that has a distributed
+    * shape: a real model swaps the hash for a broadcast vocabulary →
+    * weight map (or hashed buckets exactly as here, the fastText trick)
+    * without touching the plan — one token explode, one per-doc partial
+    * aggregation, nothing else. The stub makes the whole operator
+    * engine-portable and DuckDB-oracled exactly: the mean is one IEEE
+    * division of an exact integer sum by an exact product.
+    *
+    * Output (doc_id, n_scored, score, keep) for EVERY document; empty
+    * documents score 0 and are dropped.
+    */
+  def modelQualityScore(documentsIn: DataFrame, salt: String = "qw1",
+      keepThreshold: Double = 0.5): DataFrame = {
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val toks = filter(split(lower(trim(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    val w = conv(substring(md5(concat(col("tok"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long")
+    val agg = documents
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), w.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_scored"), sum("w").as("sw"))
+    val score = col("sw").cast("double") /
+      (col("n_scored").cast("double") * 4294967296.0)
+    documents.select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_scored"), lit(0L)).as("n_scored"),
+        when(col("n_scored").isNull, lit(0.0)).otherwise(score).as("score"),
+        when(col("n_scored").isNull, lit(false))
+          .otherwise(score >= keepThreshold).as("keep"))
+  }
 }
