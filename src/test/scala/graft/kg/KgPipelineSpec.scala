@@ -65,6 +65,19 @@ class KgPipelineSpec extends SparkSpec {
     assert(r2.groupsRun == 0 && r2.groupsSkipped == 4)
   }
 
+  test("KgMain: spark-submit arg parsing and end-to-end run") {
+    val cfg = KgMain.parse(Array("--out", "/tmp/kgmain_test", "--conv",
+      "60", "--turns", "4", "--concepts", "100", "--buckets", "8",
+      "--resume-groups", "2", "--seed", "7"))
+    assert(cfg == KgPipeline.Config("/tmp/kgmain_test", 60L, 4, 100L, 8, 2, 7L))
+    intercept[IllegalArgumentException](KgMain.parse(Array("--conv", "5")))
+    // the main's pipeline path on a live session (getOrCreate reuses it)
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File("/tmp/kgmain_test")).deleteRecursively()
+    val r = KgPipeline.run(spark, cfg)
+    assert(r.triples > 0 && r.groupsRun == 2)
+  }
+
   test("mapping rows are valid SSSOM: reconcile and emit compose") {
     val mappings = KgPipeline.extractMappings(spark,
       cfg.copy(nConv = 50L))
