@@ -563,6 +563,22 @@ object SparkEntry {
       Sampling.capPerSource(
         t(s, dir, "documents").select("doc_id", "source"), cap = 18)),
 
+    // crawl-snapshot diff: classify every id across two snapshots by
+    // content fingerprint — the refresh audit that scopes incremental
+    // dedup/curation to added ∪ changed. New snapshot derived in-query
+    // (drop %7 ids, change %11 texts, add shifted %13 ids) so the oracle
+    // re-derives it exactly
+    "q_doc_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val newSnap = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.ops.Snapshot.diff(docs, newSnap)
+    }),
+
     // deterministic global training order: shard = hash % n (balanced),
     // position = row_number within shard over (hash, id) — nShards
     // independent sorts instead of one global single-partition window;
@@ -1467,6 +1483,26 @@ object SparkEntry {
         | < CASE source WHEN 'src0' THEN 4294967296
         |    WHEN 'src1' THEN 2147483648 WHEN 'src2' THEN 1073741824
         |    ELSE 429496729 END""".stripMargin,
+
+    // fp = md5 of whitespace-normalized lowercase text, both sides; the
+    // new snapshot re-derived with the same %7/%11/%13 rules
+    "q_doc_snapshot_diff" ->
+      """WITH fp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS f,
+        |  text FROM documents),
+        |new_snap AS (
+        | SELECT doc_id, CASE WHEN doc_id % 11 = 0
+        |   THEN md5(regexp_replace(lower(trim(text || ' edited')), '\s+', ' ', 'g'))
+        |   ELSE f END AS f
+        | FROM fp WHERE doc_id % 7 <> 0
+        | UNION ALL
+        | SELECT doc_id + 1000000, f FROM fp WHERE doc_id % 13 = 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.doc_id IS NULL THEN 'added'
+        |  WHEN n.doc_id IS NULL THEN 'removed'
+        |  WHEN o.f <> n.f THEN 'changed'
+        |  ELSE 'unchanged' END AS status
+        |FROM fp o FULL OUTER JOIN new_snap n ON o.doc_id = n.doc_id""".stripMargin,
 
     // shard/pos both pure md5-hash functions; row_number partitioned by
     // shard over (hash, id) matches Spark's window exactly
