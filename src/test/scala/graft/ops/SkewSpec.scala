@@ -41,6 +41,35 @@ class SkewSpec extends SparkSpec {
     assert(plan.contains("__salt"), plan.take(800))
   }
 
+  test("property: salted ops equal their unsalted forms on generated " +
+      "data and salt counts") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val dataGen = for {
+      n <- Gen.chooseNum(1, 300)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "hot", "hot", "hot", "c")
+        v <- Gen.chooseNum(0L, 1000L)
+      } yield (k, v))
+    } yield rows
+    val saltGen = Gen.oneOf(1, 2, 7, 16, 64)
+    val p = Prop.forAll(dataGen, saltGen) { (rows, salts) =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (i.toLong, k, v) }
+        .toDF("id", "key", "v")
+      val direct = df.groupBy("key")
+        .agg(count(lit(1)).as("n"), sum("v").as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val salted = Skew.saltedAggregate(df, "key", Seq("v"), salts)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      salted == direct
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("saltedJoin returns exactly the plain join's rows") {
     val probe = skewed.select(col("key"), col("id"), col("v"))
     val build = Seq(("hot", 1), ("cold_3", 2), ("cold_7", 3), ("absent", 9))

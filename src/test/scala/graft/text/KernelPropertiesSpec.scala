@@ -59,6 +59,17 @@ class KernelPropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("native ArrayKernels.srpSigF is bit-equal to the Seq kernel for " +
+      "any bits/seed") {
+    val bits = Gen.chooseNum(1, 64)
+    val seed = Gen.chooseNum(-100000L, 100000L)
+    check(Prop.forAll(floats, bits, seed) { (a, b, s) =>
+      ArrayKernels.srpSigF(
+        new GenericArrayData(a.map(x => x: Any)), b, s) ==
+        TextHash.srpSignature(a.toSeq, b, s)
+    })
+  }
+
   test("chunkWidths: positive, as even as possible, sums to the hash width") {
     val mGen = Gen.chooseNum(2, 64)
     check(Prop.forAll(mGen) { m =>
