@@ -60,6 +60,42 @@ object Components {
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
     val und = und0.distinct().localCheckpoint(true)
 
+    // Size-adaptive fast path: near-dup pair sets are a small fraction of
+    // the corpus (the whole premise of pairs→CC→keep), so the edge list
+    // frequently fits the driver even when the corpus never would. A
+    // driver-side union-find replaces O(diameter) Spark rounds — each a
+    // job + checkpoint of pure scheduler latency at these sizes — with
+    // one collect of the already-materialized checkpoint. Labels are
+    // IDENTICAL (min member id per component); long-id graphs only (the
+    // numeric ordering is unambiguous; string ids keep the distributed
+    // path whose min semantics are Spark's). The count/collect read the
+    // checkpoint, not the upstream pair join.
+    val smallCutoff = 1000000L
+    if (und.schema("src").dataType ==
+        org.apache.spark.sql.types.LongType && und.count() <= smallCutoff) {
+      val rows = und.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      rows.foreach { r =>
+        val a = find(r.getLong(0)); val b = find(r.getLong(1))
+        // union by min: the root of every set is its minimum member
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      }
+      // component label = min member; with union-by-min the root IS the
+      // minimum id of its component
+      val srcNodes = rows.map(_.getLong(0)).distinct
+      import spark.implicits._
+      return srcNodes.map(nd => (nd, find(nd))).toSeq.toDF("node", "comp")
+    }
+
     // round 1 fused into initialization: label = min(self, direct
     // neighbors) — one job instead of init-checkpoint + first iteration
     var labels = und
