@@ -413,14 +413,23 @@ object Dedup {
     * a pair must share at least one shingle, matching the SQL definition.
     */
   def ngramJaccardNearDups(documentsIn: DataFrame, k: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      materializeShingles: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val documents = graft.core.SparkUtil.spread(documentsIn)
     val shSet = udf((t: String) => TextHash.shingleHashSet(t, k))
-    val sh = documents
+    // the shingle table feeds two branches (document frequency AND the
+    // prefix build) — Catalyst has no cross-branch CSE, so either
+    // materialize it once (default: ~8 B/token to executor disk, the
+    // right trade below ~TB inputs) or recompute it per branch
+    // (materializeShingles = false: two tokenize passes, ZERO
+    // intermediate storage — the right trade at crawl scale, where the
+    // shingle table rivals the corpus itself; same rationale as
+    // decontaminateFuzzy's documented 3-pass design). Results identical.
+    val sh0 = documents
       .select(col("doc_id"), explode(shSet(col("text"))).as("sh"))
-      .localCheckpoint(true)
+    val sh = if (materializeShingles) sh0.localCheckpoint(true) else sh0
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
     val order = byDoc.orderBy(col("df").asc, col("sh").asc)
@@ -530,7 +539,7 @@ object Dedup {
     * SQL-expressible and DuckDB-oracled.
     */
   def spanCoverage(documentsIn: DataFrame, k: Int = 10,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
     require(k >= 1 && minDocs >= 2,
       s"need k >= 1 and minDocs >= 2, got k=$k minDocs=$minDocs")
     val documents = graft.core.SparkUtil.spread(documentsIn)
@@ -541,13 +550,21 @@ object Dedup {
       .select(col("doc_id"), toksCol.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .localCheckpoint(true)
+    // hashKeys: the positional table carries xxhash64(span) — 8 bytes
+    // instead of ~k tokens of TEXT per position. The string form is a
+    // ~k× amplification of the corpus materialized to disk: fine at
+    // bench scale and the DuckDB-oracle-exact arm, ruinous at crawl
+    // scale. Counts identical modulo 64-bit collisions (the
+    // duplicateSpans hashOnly argument).
+    val keyExpr =
+      if (hashKeys) xxhash64(col("col")) else col("col")
     val sp = graft.core.SparkUtil.materializeOnce(
       base.filter(col("n_tokens") >= k)
         .select(col("doc_id"), posexplode(transform(
           sequence(lit(1), size(col("toks")) - (k - 1)),
           i => array_join(slice(col("toks"), i, lit(k)), " "))))
         .select(col("doc_id"), (col("pos") + 1).as("start"),
-          col("col").as("span")))
+          keyExpr.as("span")))
     val dup = sp.groupBy("span")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs)
@@ -589,7 +606,7 @@ object Dedup {
     * end-to-end including the rewritten text.
     */
   def removeDuplicateSpans(documentsIn: DataFrame, k: Int = 10,
-      minDocs: Int = 2): DataFrame = {
+      minDocs: Int = 2, hashKeys: Boolean = false): DataFrame = {
     require(k >= 1 && minDocs >= 2,
       s"need k >= 1 and minDocs >= 2, got k=$k minDocs=$minDocs")
     val documents = graft.core.SparkUtil.spread(documentsIn)
@@ -598,13 +615,17 @@ object Dedup {
       .select(col("doc_id"), toksCol.as("toks"))
       .withColumn("n_tokens", size(col("toks")).cast("long"))
       .localCheckpoint(true)
+    // hashKeys: 8-byte span keys instead of span TEXT in the
+    // materialized positional table — see spanCoverage
+    val keyExpr =
+      if (hashKeys) xxhash64(col("col")) else col("col")
     val sp = graft.core.SparkUtil.materializeOnce(
       base.filter(col("n_tokens") >= k)
         .select(col("doc_id"), posexplode(transform(
           sequence(lit(1), size(col("toks")) - (k - 1)),
           i => array_join(slice(col("toks"), i, lit(k)), " "))))
         .select(col("doc_id"), (col("pos") + 1).as("start"),
-          col("col").as("span")))
+          keyExpr.as("span")))
     val dup = sp.groupBy("span")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") >= minDocs)

@@ -439,6 +439,27 @@ class DedupSpec extends SparkSpec {
     assert(again == inc)
   }
 
+  test("hash-keyed scale arms agree with the string arms: span coverage, " +
+      "span removal, unmaterialized ngram join") {
+    val boiler =
+      "please read these terms and conditions very carefully before you proceed further"
+    val d = Seq(
+      (1L, s"intro one two $boiler outro alpha beta gamma"),
+      (2L, s"different lead-in text here $boiler and a tail"),
+      (3L, s"third document also contains $boiler somewhere inside it"),
+      (4L, "a unique document with no repeated ten gram span at all kappa"),
+      (5L, "short doc"), (6L, "")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.spanCoverage(d, 10, 2, hashKeys = true)) ==
+      rows(Dedup.spanCoverage(d, 10, 2)))
+    assert(rows(Dedup.removeDuplicateSpans(d, 10, 2, hashKeys = true)) ==
+      rows(Dedup.removeDuplicateSpans(d, 10, 2)))
+    assert(rows(Dedup.ngramJaccardNearDups(docsDf, 3, 0.5,
+        materializeShingles = false)) ==
+      rows(Dedup.ngramJaccardNearDups(docsDf, 3, 0.5)))
+  }
+
   test("survivors removes every non-canonical near-dup") {
     val dups = Dedup.minhashNearDups(docsDf, threshold = 0.5)
     val kept = Dedup.survivors(docsDf, dups)
