@@ -47,17 +47,28 @@ object DocStream {
       .parquet(inputDir)
 
   /** Quality-gate + scrub: keep documents passing both Gopher rule
-    * families, with PII replaced and the audit counts kept.
-    * `minStopHits` exists because the stop-word rule assumes English
-    * prose — set 0 for corpora without function words. */
+    * families (plus, when `modelThreshold` ≥ 0, the model-based quality
+    * classifier — the same decision as the batch
+    * `TextOps.modelQualityScore`), with PII replaced and the audit
+    * counts kept. `minStopHits` exists because the stop-word rule
+    * assumes English prose — set 0 for corpora without function words.
+    * Every gate is a stateless per-row column, so the stream needs no
+    * watermark or state store. */
   def curate(stream: DataFrame, minWords: Long = 50L,
-      minStopHits: Int = 2): DataFrame =
+      minStopHits: Int = 2, modelThreshold: Double = -1.0): DataFrame = {
+    val base = TextOps.gopherKeepCol(col("text"), minWords = minWords,
+        minStopHits = minStopHits) &&
+      TextOps.repetitionKeepCol(col("text"))
+    val gate =
+      if (modelThreshold >= 0.0)
+        base && TextOps.modelQualityKeepCol(col("text"),
+          keepThreshold = modelThreshold)
+      else base
     stream
-      .filter(TextOps.gopherKeepCol(col("text"), minWords = minWords,
-          minStopHits = minStopHits) &&
-        TextOps.repetitionKeepCol(col("text")))
+      .filter(gate)
       .select(col("doc_id") +: col("source") +:
         TextOps.redactPii(col("text")): _*)
+  }
 
   /** Streaming near-duplicate pair detection — the streaming arm of
     * `Dedup.minhashNearDups`, for an always-on ingest that must flag

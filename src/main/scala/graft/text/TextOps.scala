@@ -240,6 +240,34 @@ object TextOps {
     * Output (doc_id, n_scored, score, keep) for EVERY document; empty
     * documents score 0 and are dropped.
     */
+  /** Column form of the model-quality keep decision — one kernel call
+    * per row, no aggregation state, so it composes into plain filters
+    * and Structured Streaming gates (`DocStream.curate`). Decision
+    * bit-identical to `modelQualityScore`'s `keep` (same 32-bit md5
+    * weights, same long sum, same IEEE division).
+    */
+  def modelQualityKeepCol(text: Column, salt: String = "qw1",
+      keepThreshold: Double = 0.5): Column = {
+    val f = udf { (t: String) =>
+      val toks =
+        if (t == null) Array.empty[String]
+        else t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.isEmpty) false
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var sum = 0L
+        toks.foreach { tok =>
+          val d = md.digest((tok + ":" + salt).getBytes("UTF-8"))
+          var h = 0L; var i = 0
+          while (i < 4) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+          sum += h
+        }
+        sum.toDouble / (toks.length.toDouble * 4294967296.0) >= keepThreshold
+      }
+    }
+    f(text)
+  }
+
   def modelQualityScore(documentsIn: DataFrame, salt: String = "qw1",
       keepThreshold: Double = 0.5): DataFrame = {
     val documents = graft.core.SparkUtil.spread(documentsIn)

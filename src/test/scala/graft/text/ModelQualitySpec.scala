@@ -45,6 +45,21 @@ class ModelQualitySpec extends SparkSpec {
     assert(keep7.subsetOf(keep3))
   }
 
+  test("modelQualityKeepCol matches the DataFrame form's keep decision " +
+      "exactly (the streaming-gate parity)") {
+    // one unique token per doc → scores are iid uniform, so the 0.5
+    // threshold splits the set roughly in half
+    val docs = ((0L until 200L).map(i => (i, s"word$i uniq${i * 31}")) ++
+      Seq((900L, ""), (901L, "   "))).toDF("doc_id", "text")
+    val batch = TextOps.modelQualityScore(docs)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val streamGate = docs
+      .filter(TextOps.modelQualityKeepCol(col("text")))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamGate == batch)
+    assert(batch.nonEmpty && batch.size < 200) // threshold splits the set
+  }
+
   test("plan shape: one aggregation over the token explode, no shuffle " +
       "of text") {
     val docs = (0L until 100L).map(i => (i, s"tok$i common words here"))
