@@ -241,6 +241,29 @@ object Bench {
       (if (partial) """"partial":true,""" else "") +
       """"protocol":"efficiency = min(all 1t)/min(all 4t)/4, a POINT ESTIMATE: steal is one-sided, so each level's min is an upper bound on that level's honest runtime that extra samples tighten independently, but the ratio of two upper bounds can err either way - accuracy comes from SYMMETRIC per-level convergence (two honest-window draws within 10 percent at 4t AND at 1t). Every sample is budget-checked before it starts (predicted cost = the level's fastest observed run); unconverged levels keep drawing past the soft budget to a hard cap; the stop rule is convergence + budget only, never the efficiency value. Spin + DRAM probes bracket each run for window attribution and retry policy; accepted_sec_* list the honest-window draws; depressed mem_gbps_4t with honest spin = bandwidth-stolen window; AQE off in scaling sessions"}"""
     }
+    // Compact scaling object — scalar fields only (no sample arrays, no
+    // protocol prose). The round-4 driver record lost its per-query table
+    // because the single stdout JSON line grew past the driver's 2000-char
+    // stdout tail window and was head-truncated ("parsed": null); the
+    // machine-first line printed LAST must stay well under that window.
+    def compactScalingJson(): String = {
+      val secN = ns.map(_.sec).min
+      val sec4N = fs.map(_.sec).min
+      val eff = BenchProtocol.efficiency(ns.toSeq, fs.toSeq)
+      val paired = BenchProtocol.pairedEfficiencies(pairedSamples.toSeq,
+        ns.toSeq, fs.toSeq)
+      f"""{"n_threads":1,"n4_threads":4,"triples":$triplesN,""" +
+      f""""sec_n":$secN%.2f,"sec_4n":$sec4N%.2f,""" +
+      f""""triples_per_sec_n":${triplesN / secN}%.1f,""" +
+      f""""triples_per_sec_4n":${triplesN / sec4N}%.1f,""" +
+      f""""efficiency":${math.min(eff, 1.0)}%.3f,""" +
+      (if (eff > 1.0) """"capped_at_physical_bound":true,""" else "") +
+      (if (paired.nonEmpty) f""""efficiency_paired_best":${paired.max}%.3f,"""
+       else "") +
+      s""""samples_1t":${ns.length},"samples_4t":${fs.length},""" +
+      f""""converged_4t":${converged(fs.toSeq)}%s,""" +
+      f""""converged_1t":${converged(ns.toSeq, memGate = false)}%s}"""
+    }
     // --- headline query timings FIRST (driver-requested parallelism) ---
     // Running headline before scaling (a) leaves the JVM fully JIT-warm
     // for the scaling rounds (cheaper warmups → more budget for samples)
@@ -368,9 +391,22 @@ object Bench {
     val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       s""""headline_pass_totals":$passTotals,""" +
       s""""queries":$qs,"scaling":${scalingJson(partial = false)},"sf":"$sfDir"}"""
-    // bare line on stdout (build.sbt sets outputStrategy := StdoutOutput so
-    // sbt does not prefix it "[info] ") AND a file copy for the driver
+    // The full artifact (per-query table + sample arrays + protocol prose)
+    // goes to bench.json and to an EARLY stdout line; the LAST stdout line
+    // is the compact form. The driver keeps only the final ~2000 chars of
+    // stdout and parses a JSON line out of that tail — round 4's full line
+    // (3.1 kB at 70 queries) was head-truncated there and the official
+    // record lost its numbers. The compact line (~0.5 kB, scalars only,
+    // "queries_detail" pointing at the committed artifact) cannot outgrow
+    // the window as the query count rises.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      s""""headline_pass_totals":$passTotals,""" +
+      s""""n_queries":${results.length},"queries_detail":"bench.json",""" +
+      s""""scaling":${compactScalingJson()},"sf":"$sfDir"}"""
+    // bare lines on stdout (build.sbt sets outputStrategy := StdoutOutput so
+    // sbt does not prefix them "[info] ") AND a file copy for the driver
     println(json)
+    println(compact)
     writeBenchFile(json)
   }
 }

@@ -860,11 +860,14 @@ object Dedup {
     * n-gram Jaccard): transitive closure first — unlike `survivors`'
     * anti-join, a chain a~b, b~c keeps only a, never both endpoints.
     *
-    * Scale shape: `pairs` is the near-dup subset — tiny relative to the
-    * corpus — so CC iterates over the small edge set only, the
-    * cluster-size aggregate stays on CC's output, and the final label
-    * attach is a broadcast left join onto the corpus: the corpus itself
-    * is never shuffled.
+    * Scale shape: CC iterates over the pair set only (never the corpus)
+    * and the cluster-size aggregate stays on CC's output. The final
+    * label attach carries NO broadcast hint: at crawl scale near-dup
+    * cluster membership is routinely 30-50% of all documents, so a
+    * forced broadcast of the label table is a driver/executor OOM at
+    * 100x — let AQE pick broadcast when the labels actually fit (same
+    * call `Curation.curate` makes on its label join, and for the same
+    * reason).
     *
     * @param pairs near-dup pairs with `doc_a` < `doc_b` columns
     * @return one row per input document:
@@ -879,7 +882,7 @@ object Dedup {
     val labeled = labels.join(sizes, "cluster")
     val cluster = coalesce(col("cluster"), col("doc_id"))
     documents.select(col("doc_id"))
-      .join(broadcast(labeled), Seq("doc_id"), "left")
+      .join(labeled, Seq("doc_id"), "left")
       .select(col("doc_id"), cluster.as("cluster"),
         coalesce(col("n_members"), lit(1L)).as("n_members"),
         (cluster === col("doc_id")).as("keep"))

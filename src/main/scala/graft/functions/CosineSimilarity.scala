@@ -52,8 +52,11 @@ object ArrayKernels {
   /** Sign-random-projection signature, bit-identical to
     * `TextHash.srpSignature` (same `mix(seed·1315423911 + j, i)` ±1
     * plane weights, same f64 accumulation order, same strict `dot > 0`
-    * sign rule), reading `ArrayData` in place. Null elements count as 0
-    * (the `Seq[Float]` UDF bridge surfaces them the same way).
+    * sign rule), reading `ArrayData` in place. Null array elements are
+    * DEFINED as 0 here — an improvement over the `Seq[Float]` UDF
+    * bridge this replaced, which threw an NPE unboxing a null
+    * `java.lang.Float`; the bit-identity claim above therefore covers
+    * null-free arrays (the only inputs the bridge could evaluate).
     */
   def srpSigF(a: ArrayData, bits: Int, seed: Long): Long = {
     val n = a.numElements()

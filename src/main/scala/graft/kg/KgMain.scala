@@ -22,10 +22,26 @@ import org.apache.spark.sql.SparkSession
   */
 object KgMain {
 
+  private val knownFlags = Set(
+    "out", "conv", "turns", "concepts", "buckets", "resume-groups", "seed")
+
   def parse(args: Array[String]): KgPipeline.Config = {
-    val m = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    // fail fast on malformed invocations: an odd arg list means a flag
+    // lost its value (sliding(2,2) would silently drop the trailing arg)
+    // and an unknown --flag is a typo that would otherwise run the whole
+    // job with a default in place of the operator's intent
+    require(args.length % 2 == 0,
+      s"expected --flag value pairs, got odd arg list: ${args.mkString(" ")}")
+    val pairs = args.sliding(2, 2).toSeq
+    pairs.foreach { p =>
+      require(p.head.startsWith("--"),
+        s"expected a --flag at '${p.head}' in: ${args.mkString(" ")}")
+    }
+    val m = pairs.map { case Array(k, v) => k.drop(2) -> v }.toMap
+    val unknown = m.keySet.diff(knownFlags)
+    require(unknown.isEmpty,
+      s"unknown flag(s): ${unknown.toSeq.sorted.mkString("--", ", --", "")}" +
+        s" (known: ${knownFlags.toSeq.sorted.mkString("--", ", --", "")})")
     KgPipeline.Config(
       outDir = m.getOrElse("out",
         throw new IllegalArgumentException("--out <dir> is required")),

@@ -21,6 +21,15 @@ import org.apache.spark.sql.functions._
   * Everything is deterministic (salts derive from row hashes, never
   * `rand()`), so results are reproducible and the equality properties
   * are testable exactly.
+  *
+  * Known limitation of row-hash salting: rows that are FULLY duplicate
+  * under a hot key (e.g. repeated null/default rows) hash to the same
+  * salt and still land on one reducer, so the mitigation does not spread
+  * them. A deterministic disambiguator does not exist for identical rows
+  * (spark_partition_id + per-partition index is not stable across
+  * retries/AQE); if full-duplicate hot rows are the skew shape,
+  * pre-aggregate them to (row, count) first — the collapsed table has no
+  * duplicates left to spread.
   */
 object Skew {
 
@@ -32,10 +41,18 @@ object Skew {
     */
   def keyStats(df: DataFrame, keyCol: String, topN: Int = 20): DataFrame = {
     require(topN >= 1, s"need topN >= 1, got $topN")
-    val counts = graft.core.SparkUtil.spread(df)
-      .groupBy(col(keyCol).cast("string").as("key"))
-      .agg(count(lit(1)).as("n"))
-    val total = lit(df.count())
+    // ONE scan of the input: the per-key aggregate is materialized (it is
+    // a key-cardinality-sized table), then both consumers — the total-row
+    // denominator and the TakeOrdered topN — read the checkpoint. The
+    // previous `df.count()` denominator re-scanned the full input a second
+    // time (a wasted full pass at 100 TB); Catalyst would not CSE the agg
+    // across the two consumers either, hence the explicit boundary.
+    val counts = graft.core.SparkUtil.materializeOnce(
+      graft.core.SparkUtil.spread(df)
+        .groupBy(col(keyCol).cast("string").as("key"))
+        .agg(count(lit(1)).as("n")))
+    val total = lit(counts.agg(coalesce(sum(col("n")), lit(0L)))
+      .first().getLong(0))
     counts
       .withColumn("share", col("n").cast("double") / total)
       .orderBy(col("n").desc, col("key").asc_nulls_last)
@@ -57,6 +74,8 @@ object Skew {
   def saltedAggregate(df: DataFrame, keyCol: String, sums: Seq[String],
       salts: Int = 16): DataFrame = {
     require(salts >= 1, s"need salts >= 1, got $salts")
+    require(!df.columns.contains("__salt"),
+      "input already has a __salt column (reserved by saltedAggregate)")
     val salted = graft.core.SparkUtil.spread(df)
       .withColumn("__salt",
         pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
@@ -84,6 +103,9 @@ object Skew {
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int = 16): DataFrame = {
     require(salts >= 1, s"need salts >= 1, got $salts")
+    require(!probe.columns.contains("__salt") &&
+        !build.columns.contains("__salt"),
+      "input already has a __salt column (reserved by saltedJoin)")
     val b = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     val p = graft.core.SparkUtil.spread(probe)

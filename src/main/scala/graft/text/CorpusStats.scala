@@ -286,6 +286,12 @@ object CorpusStats {
     require(terms.nonEmpty, "query has no terms")
     val documents = graft.core.SparkUtil.spread(documentsIn)
     val nDocs = documents.count()
+    // the integer-scaled idf weight floor(nDocs*scale/df) is exact only
+    // while nDocs*scale fits a Long — enforce the documented headroom
+    // constraint ("drop scale toward 1 for huge corpora") instead of
+    // silently wrapping into negative weights past ~9.2e18/scale docs
+    require(nDocs <= Long.MaxValue / scale,
+      s"nDocs ($nDocs) * scale ($scale) overflows Long — lower `scale`")
     val tf = tfTable(documents, Some(terms.toSeq))
     val weights = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("w", floor(lit(nDocs * scale) / col("df")).cast("long"))

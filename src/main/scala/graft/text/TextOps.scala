@@ -244,14 +244,22 @@ object TextOps {
     * per row, no aggregation state, so it composes into plain filters
     * and Structured Streaming gates (`DocStream.curate`). Decision
     * bit-identical to `modelQualityScore`'s `keep` (same 32-bit md5
-    * weights, same long sum, same IEEE division).
+    * weights, same long sum, same IEEE division). Tokenization matches
+    * the batch form's `split(lower(text), "\\s+")` + non-empty filter:
+    * `Locale.ROOT` lowercase (never the JVM default locale — a Turkish
+    * JVM would map I→ı and break streaming/batch gate parity) and NO
+    * trim (Java's `String.trim` strips all chars ≤ U+0020 while Spark's
+    * `trim` is space-only; the `\s+` split + nonEmpty filter already
+    * absorbs leading/trailing whitespace on both sides, so neither form
+    * needs a trim for the decision).
     */
   def modelQualityKeepCol(text: Column, salt: String = "qw1",
       keepThreshold: Double = 0.5): Column = {
     val f = udf { (t: String) =>
       val toks =
         if (t == null) Array.empty[String]
-        else t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        else t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          .filter(_.nonEmpty)
       if (toks.isEmpty) false
       else {
         val md = java.security.MessageDigest.getInstance("MD5")

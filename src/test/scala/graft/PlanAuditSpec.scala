@@ -64,6 +64,36 @@ class PlanAuditSpec extends SparkSpec {
       "the small query set must broadcast, never shuffle the corpus")
   }
 
+  test("keyStats never re-scans the input for its denominator") {
+    assume(has)
+    // the per-key aggregate is checkpointed and BOTH consumers (total-row
+    // denominator, TakeOrdered topN) read the checkpoint — the executed
+    // plan must contain no parquet scan at all (the one real scan happens
+    // inside the eager checkpoint; the old df.count() denominator cost a
+    // second full pass, r4 verdict finding #5)
+    val p = physical(SparkEntry.queries("q_skew_key_audit")(spark, dir))
+    assert(!p.contains("Scan parquet"),
+      s"keyStats result must read the checkpointed agg only:\n${p.take(1500)}")
+  }
+
+  test("nearDupDedup label attach carries no forced broadcast hint") {
+    // at crawl scale the label table is 30-50% of the corpus — a forced
+    // broadcast there is a driver OOM at 100×; the join must reach the
+    // optimizer hint-free so AQE picks broadcast only when labels fit
+    // (r4 verdict finding #3; Curation.curate made this call already)
+    import spark.implicits._
+    val docs = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = graft.dedup.Dedup.nearDupDedup(docs, pairs)
+    val l = out.queryExecution.optimizedPlan.toString
+    assert(!l.contains("strategy=broadcast"),
+      s"label join must not carry a broadcast hint:\n${l.take(1500)}")
+    // and the decision output is still right under the hint-free plan
+    val keep = out.collect().filter(_.getAs[Boolean]("keep"))
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(keep.toSeq == Seq(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
+  }
+
   test("no cartesian in any doc/embed headline plan except the documented " +
       "exact baselines") {
     assume(has)
