@@ -384,6 +384,23 @@ object SparkEntry {
           col("n_members"), col("keep"))
     }),
 
+    // the SAME composed decision over the SRP-LSH pair arm — the flow a
+    // 100 TB run actually executes (the exact arm above exists for the
+    // DuckDB oracle; it is O(n²)). Rows-only for the driver; witnessed
+    // against the exact arm's decision: LSH pairs ⊆ exact pairs, so LSH
+    // clusters refine exact clusters and every exact keep survives here
+    // (keep_exact ⊆ keep_lsh), with drop-recall reported
+    // (TestdataWitnessSpec)
+    "q_embed_neardup_dedup_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.cosineNearDups(emb, threshold = 0.4,
+          exact = false)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.nearDupDedup(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster"),
+          col("n_members"), col("keep"))
+    }),
+
     // ---- near-dup detection (LSH family; rows-only checks) ----
     "q_doc_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)),

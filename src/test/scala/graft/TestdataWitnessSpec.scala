@@ -137,6 +137,62 @@ class TestdataWitnessSpec extends SparkSpec {
     assert(lsh.nonEmpty && lsh.size <= exact.size)
   }
 
+  test("q_embed_neardup_dedup_lsh @ sf0.01: composed LSH decision refines " +
+      "the exact arm's clusters; every exact keep survives; drop recall") {
+    assume(has("embeddings"))
+    // rows are (vec_id, cluster, n_members, keep)
+    val lsh = SparkEntry.queries("q_embed_neardup_dedup_lsh")(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val exact = SparkEntry.queries("q_embed_neardup_dedup")(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    // one decision row per corpus vector in both arms
+    assert(lsh.length == exact.length &&
+      lsh.map(_._1).toSet == exact.map(_._1).toSet)
+    val exCluster = exact.map(d => d._1 -> d._2).toMap
+    // refinement: LSH pairs ⊆ exact pairs (witnessed upstream), so two
+    // vectors an LSH cluster unites must share their exact cluster too
+    lsh.groupBy(_._2).values.foreach { members =>
+      assert(members.map(m => exCluster(m._1)).distinct.length == 1,
+        s"LSH cluster ${members.head._2} straddles exact clusters")
+    }
+    // an exact cluster's min-id is the min-id of whichever LSH
+    // sub-cluster it falls in → every exact keep survives the LSH arm
+    val keepLsh = lsh.filter(_._4).map(_._1).toSet
+    val keepExact = exact.filter(_._4).map(_._1).toSet
+    assert(keepExact.subsetOf(keepLsh),
+      s"exact keeps dropped by LSH arm: ${keepExact -- keepLsh}")
+    // drop decisions: LSH can only under-produce (drops ⊆ exact drops).
+    // Overall drop recall is the standard SRP tradeoff at cos≈threshold
+    // on this weakly-clustered corpus (borderline 0.4-0.6 pairs rarely
+    // collide) — reported, floored loosely. The HARD guarantee is the
+    // high-cosine band: every drop forced by a planted cos ≥ 0.9
+    // duplicate pair must be reproduced, because those pairs collide in
+    // some SRP table with overwhelming probability (asserted upstream).
+    val dropExact = exact.filterNot(_._4).map(_._1).toSet
+    val dropLsh = lsh.filterNot(_._4).map(_._1).toSet
+    assert(dropLsh.subsetOf(dropExact))
+    val recall = dropLsh.size.toDouble / dropExact.size
+    info(f"drop-decision recall vs exact arm: $recall%.3f " +
+      s"(${dropLsh.size}/${dropExact.size})")
+    assert(recall >= 0.15, s"drop recall $recall below floor")
+    // high-cosine clusters via in-test union-find over cos >= 0.9 pairs
+    val hi = SparkEntry.queries("q_embed_neardup")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().filter(_._3 >= 0.9)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    hi.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val mustDrop = hi.flatMap(p => Seq(p._1, p._2)).distinct
+      .filter(x => find(x) != x).toSet
+    assert(mustDrop.subsetOf(dropLsh),
+      s"planted-duplicate drops missed: ${mustDrop -- dropLsh}")
+  }
+
   test("q_embed_ann_ivf @ sf0.01: cosines bit-exact vs kernel; full top-10 " +
       "per query; majority recall vs exact top-10") {
     assume(has("embeddings"))
