@@ -685,10 +685,16 @@ object SparkEntry {
     "q_doc_simhash128_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups128(t(s, dir, "documents"), maxHamming = 12)),
 
-    // ---- multimodal plumbing (stubbed decode; rows-only) ----
+    // ---- multimodal plumbing (real javax.imageio PNG decode for image
+    // rows — dimensions planted from the row hash keep the oracle exact;
+    // audio/video stay stubbed). size_bytes is the true PNG container
+    // length for image rows (not SQL-expressible), so the oracled
+    // projection excludes it; MultimodalSpec pins it instead. ----
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.withMediaColumn(t(s, dir, "documents"), "text"), "doc_id")),
+        Multimodal.withMediaColumn(t(s, dir, "documents"), "text"), "doc_id")
+        .select(col("doc_id"), col("media_type"), col("width"),
+          col("height"), col("duration_ms"))),
 
     // ---- KG pipeline (north rule; synthetic input; rows-only) ----
     "q_kg_triples" -> ((s, dir) => {
@@ -1725,9 +1731,10 @@ object SparkEntry {
         |SELECT doc_id,
         | CASE t WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
         |  ELSE 'video/mp4' END AS media_type,
-        | CAST(16 AS BIGINT) AS size_bytes,
-        | CAST(64 + ((h1 % 1920) + 1920) % 1920 AS INT) AS width,
-        | CAST(64 + ((h2 % 1080) + 1080) % 1080 AS INT) AS height,
+        | CAST(CASE WHEN t = 0 THEN 1 + ((h1 % 64) + 64) % 64
+        |  ELSE 64 + ((h1 % 1920) + 1920) % 1920 END AS INT) AS width,
+        | CAST(CASE WHEN t = 0 THEN 1 + ((h2 % 64) + 64) % 64
+        |  ELSE 64 + ((h2 % 1080) + 1080) % 1080 END AS INT) AS height,
         | CAST(CASE WHEN t = 0 THEN 0
         |  ELSE 1000 + ((h1 % 60000) + 60000) % 60000 END AS BIGINT) AS duration_ms
         |FROM h""".stripMargin

@@ -8,37 +8,95 @@ import org.apache.spark.sql.functions._
   * struct; decode / feature-extract / resize / frame-sample run as
   * partition-batched typed transforms.
   *
-  * The actual codec step is STUBBED (no image/audio libraries exist in
-  * this container): `decodeStub` derives deterministic fake
-  * width/height/duration from the payload header bytes. Everything
-  * around it — schema, batching, partition sizing, explode shape — is the
-  * real Spark-side contract a production decode UDF would drop into.
+  * The IMAGE path is real: `withMediaColumn` synthesizes genuine PNG
+  * bytes (deterministic tiny images, dimensions planted from the payload
+  * hash) and `extractFeatures` decodes them with the JDK's built-in
+  * `javax.imageio` — true container parsing, true pixel dimensions, no
+  * external libraries. Audio/video remain STUBBED (no codec libraries
+  * exist in this container): `decodeStub` derives deterministic fake
+  * duration/dimensions from the payload header bytes. Everything around
+  * the codec — schema, batching, partition sizing, explode shape — is the
+  * real Spark-side contract either kind of decoder drops into.
   */
 object Multimodal {
 
   final case class MediaMeta(mediaType: String, sizeBytes: Long,
       width: Int, height: Int, durationMs: Long)
 
-  /** Attach a binary media column + metadata struct to a table. The demo
-    * payload is derived from existing columns (deterministic); a real
-    * pipeline reads it from blob storage. All derivations are plain
-    * hash/arithmetic so the whole decode path is DuckDB-oracle-checkable.
+  private def hexToBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // ImageIO defaults to spilling every stream through a disk-backed temp
+  // file — per-row temp-file churn in a tight decode loop. In-memory
+  // payloads want the memory cache; flip the JVM-wide flag once per
+  // executor (idempotent).
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic tiny PNG: real container, real pixels, encoded with
+    * the JDK PNG writer. Pixel values derive from `seed` so identical
+    * inputs yield identical bytes.
     */
-  def withMediaColumn(df: DataFrame, payloadFrom: String): DataFrame =
-    df.withColumn("media",
-        to_binary(md5(col(payloadFrom)), lit("hex")))
+  def makePng(w: Int, h: Int, seed: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"bad dimensions ${w}x$h")
+    imageIoNoDiskCache
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (seed * 31 + y * w + x) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Planted PNG dimensions for a payload hash: the SAME signed-int32
+    * reads the decode oracle recomputes in SQL (first/second 4 bytes of
+    * the md5), floorMod'ed into 1..64 — small enough that synthesizing
+    * and decoding tens of thousands of real PNGs per partition stays in
+    * the per-task noise.
+    */
+  def plantedDims(hashBytes: Array[Byte]): (Int, Int) = {
+    val bb = java.nio.ByteBuffer.wrap(hashBytes)
+    (1 + math.floorMod(bb.getInt(0), 64), 1 + math.floorMod(bb.getInt(4), 64))
+  }
+
+  /** Attach a binary media column + metadata struct to a table. The demo
+    * payload derives from existing columns (deterministic); a real
+    * pipeline reads it from blob storage. Rows typed `image/png` carry a
+    * REAL PNG whose dimensions are planted from the row hash (so the
+    * decode stays DuckDB-oracle-checkable); audio/video rows carry the
+    * raw 16-byte hash as an opaque stand-in payload.
+    */
+  def withMediaColumn(df: DataFrame, payloadFrom: String): DataFrame = {
+    val mkPayload = udf { (hex: String) =>
+      val raw = hexToBytes(hex)
+      val t = Integer.parseInt(hex.substring(0, 2), 16) % 3
+      if (t == 0) {
+        val (w, h) = plantedDims(raw)
+        makePng(w, h, java.nio.ByteBuffer.wrap(raw).getInt(8))
+      } else raw
+    }
+    df.withColumn("media", mkPayload(md5(col(payloadFrom))))
       .withColumn("media_type",
         element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
           (conv(substring(md5(col(payloadFrom)), 1, 2), 16, 10).cast("int")
             % 3 + 1)))
+  }
 
-  /** STUB decode: deterministic pseudo-metadata from payload bytes
-    * (big-endian ints off the header, floorMod'ed into plausible ranges).
-    * Replace the body with a real codec call (e.g. javax.imageio /
-    * ffmpeg bindings) in production — signature and batch shape hold.
+  /** STUB decode for the codec-less media types: deterministic
+    * pseudo-metadata from payload bytes (big-endian ints off the header,
+    * floorMod'ed into plausible ranges). Replace the body with a real
+    * codec call (ffmpeg bindings etc.) in production — signature and
+    * batch shape hold; the image path below shows the finished form.
     */
   def decodeStub(payload: Array[Byte], mediaType: String): MediaMeta = {
-    // ??? — real decoder goes here; deterministic fake below
     val bb = java.nio.ByteBuffer.wrap(payload)
     val h = if (payload.length >= 4) bb.getInt(0) else 0
     val h2 = if (payload.length >= 8) bb.getInt(4) else 0
@@ -48,6 +106,21 @@ object Multimodal {
       else 1000L + math.floorMod(h, 60000).toLong
     MediaMeta(mediaType, payload.length.toLong, w, ht, dur)
   }
+
+  /** Real decode dispatch: PNG payloads are parsed by `javax.imageio`
+    * (container + IHDR + pixel data — a malformed payload fails loudly
+    * rather than yielding fake metadata); other media types fall back to
+    * the documented stub. `size_bytes` is the true container length.
+    */
+  def decode(payload: Array[Byte], mediaType: String): MediaMeta =
+    if (mediaType == "image/png") {
+      imageIoNoDiskCache
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      require(img != null, "image/png payload is not a decodable image")
+      MediaMeta(mediaType, payload.length.toLong, img.getWidth,
+        img.getHeight, 0L)
+    } else decodeStub(payload, mediaType)
 
   /** Partition-batched decode (the Scala analogue of mapInPandas): one
     * task decodes its partition's payloads in a tight loop; output is the
@@ -61,7 +134,7 @@ object Multimodal {
       .as[(Long, Array[Byte], String)]
     rows.mapPartitions { it =>
       it.map { case (k, payload, mt) =>
-        val m = decodeStub(payload, mt)
+        val m = decode(payload, mt)
         (k, m.mediaType, m.sizeBytes, m.width, m.height, m.durationMs)
       }
     }.toDF(keyCol, "media_type", "size_bytes", "width", "height",
