@@ -94,15 +94,35 @@ object KgPipeline {
 
   private def ledgerPath(outDir: String) = Paths.get(outDir, "_ledger.jsonl")
 
+  private def groupOf(line: String): Option[Int] =
+    "\"group\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
+
+  /** Completed groups + crash hygiene. A group counts as complete ONLY on
+    * its `"status":"complete"` marker — the per-bucket lineage lines are
+    * appended BEFORE the marker, so a kill mid-append must not make the
+    * rerun skip a group whose lineage is half-written (matching any
+    * `"group":N` line here was exactly that bug). Orphaned lines of
+    * incomplete groups (metrics from a crashed attempt) are compacted
+    * away atomically, so a rerun's fresh lineage is exactly-once rather
+    * than appended after stale duplicates.
+    */
   private def completedGroups(outDir: String): Set[Int] = {
     val p = ledgerPath(outDir)
     if (!Files.exists(p)) Set.empty
     else {
       import scala.jdk.CollectionConverters._
-      Files.readAllLines(p).asScala
-        .flatMap { l =>
-          "\"group\":(\\d+)".r.findFirstMatchIn(l).map(_.group(1).toInt)
-        }.toSet
+      val lines = Files.readAllLines(p).asScala.toSeq
+      val done = lines.filter(_.contains("\"status\":\"complete\""))
+        .flatMap(groupOf).toSet
+      val kept = lines.filter(l => groupOf(l).exists(done.contains))
+      if (kept.size != lines.size) {
+        val tmp = Paths.get(outDir, "_ledger.jsonl.tmp")
+        Files.write(tmp, (kept.mkString("\n") +
+          (if (kept.isEmpty) "" else "\n")).getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      done
     }
   }
 

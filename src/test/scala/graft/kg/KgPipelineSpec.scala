@@ -65,6 +65,63 @@ class KgPipelineSpec extends SparkSpec {
     assert(r2.groupsRun == 0 && r2.groupsSkipped == 4)
   }
 
+  test("chaos resume: kills between group writes recover to exactly-once " +
+      "completion with clean lineage") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    // clean single-shot run = the reference output
+    val refCfg = cfg.copy(
+      outDir = Files.createTempDirectory("kg_chaos_ref").toString)
+    KgPipeline.run(spark, refCfg)
+    // victim run, then doctor its outDir into the two mid-run kill states:
+    //  - group 2: killed AFTER its data + lineage appends but BEFORE the
+    //    complete marker (drop only the marker line)
+    //  - group 3: killed BEFORE any of its writes landed (drop all its
+    //    ledger lines and its output directories)
+    val vicCfg = cfg.copy(
+      outDir = Files.createTempDirectory("kg_chaos").toString)
+    KgPipeline.run(spark, vicCfg)
+    val ledger = Paths.get(vicCfg.outDir, "_ledger.jsonl")
+    val lines = Files.readAllLines(ledger).asScala.toSeq
+    def grp(l: String): Option[Int] =
+      "\"group\":(\\d+)".r.findFirstMatchIn(l).map(_.group(1).toInt)
+    val doctored = lines.filterNot(l => grp(l).contains(2) &&
+        l.contains("\"status\":\"complete\""))
+      .filterNot(l => grp(l).contains(3))
+    Files.write(ledger, (doctored.mkString("\n") + "\n").getBytes("UTF-8"))
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"${vicCfg.outDir}/edges/group=3"))
+      .deleteRecursively()
+    new Directory(new java.io.File(s"${vicCfg.outDir}/nodes/group=3"))
+      .deleteRecursively()
+    Files.deleteIfExists(Paths.get(vicCfg.outDir, "_manifest.json"))
+    // relaunch: incomplete groups rerun (group 2's data was fine but its
+    // completion is unproven — half-written lineage must not be trusted),
+    // complete groups are skipped
+    val r = KgPipeline.run(spark, vicCfg)
+    assert(r.groupsRun == 2 && r.groupsSkipped == 2,
+      s"expected groups 2,3 rerun: $r")
+    // exactly-once completion: one complete marker per group, and no
+    // orphaned lineage from the crashed attempt (group 2's stale metrics
+    // were compacted away before its rerun re-appended fresh ones)
+    val fin = Files.readAllLines(ledger).asScala.toSeq
+    (0 until cfg.resumeGroups).foreach { g =>
+      assert(fin.count(l => grp(l).contains(g) &&
+        l.contains("\"status\":\"complete\"")) == 1, s"group $g markers")
+      val nBuckets = cfg.buckets / cfg.resumeGroups
+      assert(fin.count(l => grp(l).contains(g) &&
+        l.contains("\"bucket\":")) == nBuckets, s"group $g lineage rows")
+    }
+    // recovered tables equal the clean single-shot run's, row for row
+    for (table <- Seq("edges", "nodes")) {
+      val a = spark.read.parquet(s"${refCfg.outDir}/$table")
+      val b = spark.read.parquet(s"${vicCfg.outDir}/$table")
+      assert(a.count() == b.count() && a.exceptAll(b).count() == 0 &&
+        b.exceptAll(a).count() == 0, s"$table diverged after chaos resume")
+    }
+    assert(Files.exists(Paths.get(vicCfg.outDir, "_manifest.json")))
+  }
+
   test("KgMain: spark-submit arg parsing and end-to-end run") {
     val cfg = KgMain.parse(Array("--out", "/tmp/kgmain_test", "--conv",
       "60", "--turns", "4", "--concepts", "100", "--buckets", "8",
