@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   *     concentrate on one task here; downstream hot-key aggregation is
   *     handled by map-side partial aggregation + AQE skew-join in the
   *     reconcile step (MergeReconcile.filterRedundantRows), not by salting;
-  *  3. fuzzy linking: MinHash-style LSH blocking — character-3-gram min
-  *     hashes per band on both sides, equi-join on (band, signature),
-  *     verified by exact trigram-Jaccard ≥ threshold.
+  *  3. fuzzy linking, two blocking families (north rule: "MinHash/TF-IDF
+  *     blocking"): MinHash-style LSH — character-3-gram min hashes per
+  *     band on both sides, equi-join on (band, signature) — and TF-IDF
+  *     rarest-token blocking (`linkFuzzyTfidf`) — each dictionary surface
+  *     registers under its lowest-df token, mentions meet concepts via an
+  *     equi-join on that token. Both verified by exact trigram-Jaccard
+  *     ≥ threshold.
   *
   * Output: SSSOM mapping rows (subject = mention CURIE, object = concept,
   * predicate ∈ skos:exactMatch/closeMatch,
@@ -111,6 +115,61 @@ object Linker {
     // carrying it through dropDuplicates inflates the hash-agg state and
     // forces sort-fallback at scale.
     mentionBands.join(broadcast(dictBands.drop("surface")), Seq("band", "sig"))
+      .select("conv_id", "turn_idx", "mention", "concept_id")
+      .dropDuplicates("conv_id", "turn_idx", "mention", "concept_id")
+      .join(broadcast(dictSurf), Seq("concept_id"))
+      .withColumn("jaccard", jac(col("mention"), col("surface")))
+      .filter(col("jaccard") >= jaccardMin && col("mention") =!= col("surface"))
+      .select(col("conv_id"), col("turn_idx"), col("mention"),
+        col("concept_id"),
+        lit(Schema.SkosCloseMatch).as("predicate_id"),
+        (col("jaccard") * 0.9).as("confidence"))
+  }
+
+  /** Fuzzy link via TF-IDF (rarest-token) blocking — the north rule's
+    * second blocking family alongside the MinHash bands above. Candidate
+    * generation follows the AllPairs rarest-element rule: each dictionary
+    * surface registers under its LOWEST-document-frequency token (df over
+    * the dictionary itself, ties on the token string), so head tokens
+    * ("the", a product name shared by thousands of concepts) never become
+    * hot blocking keys — the block key cardinality is bounded by the
+    * dictionary, and a mention only meets the concepts whose rarest token
+    * it contains. Verification is the same exact trigram-Jaccard as
+    * `linkFuzzy`.
+    *
+    * Recall shape vs brute-force trigram-Jaccard: a true pair is missed
+    * only when the mention does not contain the surface's rarest token
+    * verbatim (e.g. the typo sits exactly there) — reported by the recall
+    * witness in the spec, planted intact-synonym pairs are never missed.
+    *
+    * Scale shape: token df is an aggregation over the dictionary (small
+    * relative to the corpus); the block table (one row per dictionary
+    * surface) broadcasts; the mention side explodes to its distinct
+    * tokens and equi-joins — never shuffled by the raw mention, no
+    * cartesian anywhere.
+    */
+  def linkFuzzyTfidf(mentions: DataFrame, dictionary: DataFrame,
+      jaccardMin: Double = 0.55): DataFrame = {
+    val fuzzyMentions = mentions
+      .filter(col("mention").contains(" ") && length(col("mention")) >= 7)
+    val dictSurf = dictionary.select(col("concept_id"),
+      normalize(col("label")).as("surface"))
+    val dictToks = dictSurf
+      .select(col("concept_id"), col("surface"),
+        explode(array_distinct(split(col("surface"), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    // df per token over the dictionary, then rarest token per surface
+    // ((df asc, tok asc) min-struct — deterministic)
+    val df = dictToks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val blocks = dictToks.join(df, "tok")
+      .groupBy("concept_id", "surface")
+      .agg(min(struct(col("df"), col("tok"))).as("m"))
+      .select(col("concept_id"), col("m.tok").as("block"))
+    val mentionToks = fuzzyMentions
+      .select(col("conv_id"), col("turn_idx"), col("mention"),
+        explode(array_distinct(split(col("mention"), " "))).as("block"))
+    val jac = udf((a: String, b: String) => TextHash.charTrigramJaccard(a, b))
+    mentionToks.join(broadcast(blocks), Seq("block"))
       .select("conv_id", "turn_idx", "mention", "concept_id")
       .dropDuplicates("conv_id", "turn_idx", "mention", "concept_id")
       .join(broadcast(dictSurf), Seq("concept_id"))

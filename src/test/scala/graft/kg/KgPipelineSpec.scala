@@ -65,6 +65,71 @@ class KgPipelineSpec extends SparkSpec {
     assert(r2.groupsRun == 0 && r2.groupsSkipped == 4)
   }
 
+  test("linkFuzzyTfidf: rarest-token blocking finds every pair whose " +
+      "mention carries the surface's rarest token; verification exact") {
+    import graft.text.TextHash
+    val dict = Seq(
+      ("C:1", "protein kinase alpha", "pk alpha"),
+      ("C:2", "protein kinase beta", "pk beta"),
+      ("C:3", "gamma receptor", "gr")).toDF("concept_id", "label", "synonyms")
+    val mentions = Seq(
+      // contains C:1's rarest token ("alpha", df=1) intact -> MUST link
+      (("c1", 0, "protein kinase alpha x")),
+      // typo exactly in the rarest token -> documented blocking miss
+      (("c1", 1, "protein kinase alpa")),
+      // rarest-token tie (gamma/receptor both df=1) breaks on token asc
+      (("c2", 0, "gamma receptor q")),
+      // unrelated -> no candidate survives verification
+      (("c2", 1, "completely different words"))
+    ).toDF("conv_id", "turn_idx", "mention")
+    val out = Linker.linkFuzzyTfidf(mentions, dict, jaccardMin = 0.55)
+      .select("mention", "concept_id", "confidence")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    // every emitted confidence is exactly kernel-jaccard * 0.9
+    val surfaces = Map("C:1" -> "protein kinase alpha",
+      "C:2" -> "protein kinase beta", "C:3" -> "gamma receptor")
+    out.foreach { case ((m, c), conf) =>
+      val j = TextHash.charTrigramJaccard(m, surfaces(c))
+      assert(conf == j * 0.9 && j >= 0.55)
+    }
+    assert(out.contains(("protein kinase alpha x", "C:1")))
+    assert(out.contains(("gamma receptor q", "C:3")))
+    assert(!out.keySet.exists(_._1 == "completely different words"))
+    // the typo'd-rarest-token pair IS a true brute-force pair (the
+    // documented blocking miss: recall < 1 exactly and only there)
+    assert(TextHash.charTrigramJaccard("protein kinase alpa",
+      "protein kinase alpha") >= 0.55)
+    assert(!out.contains(("protein kinase alpa", "C:1")))
+    // recall guarantee over the synthetic corpus: every brute-force pair
+    // whose mention contains the surface's rarest token is found
+    val t = Synthetic.transcripts(spark, 80, 4, 40)
+    val d = Synthetic.dictionary(spark, 40)
+    val ms = Linker.detectMentions(t)
+      .filter(col("mention").contains(" ") && length(col("mention")) >= 7)
+      .select("conv_id", "turn_idx", "mention")
+    val found = Linker.linkFuzzyTfidf(ms, d)
+      .select("mention", "concept_id").distinct()
+      .as[(String, String)].collect().toSet
+    val surf = d.select(col("concept_id"),
+      Linker.normalize(col("label")).as("surface"))
+      .as[(String, String)].collect()
+    val dfTok = surf.flatMap(_._2.split(" ").distinct).groupBy(identity)
+      .map { case (k, v) => k -> v.length }
+    val rarest = surf.map { case (cid, s) =>
+      cid -> s.split(" ").distinct.minBy(tok => (dfTok(tok), tok)) }.toMap
+    val mset = ms.select("mention").distinct().as[String].collect()
+    val brute = for {
+      m <- mset; (cid, s) <- surf
+      if m != s && TextHash.charTrigramJaccard(m, s) >= 0.55
+    } yield (m, cid)
+    val guaranteed = brute.filter { case (m, cid) =>
+      m.split(" ").contains(rarest(cid)) }
+    assert(guaranteed.toSet.subsetOf(found),
+      s"guaranteed pairs missed: ${guaranteed.toSet -- found}")
+    info(s"recall vs brute force: ${(brute.toSet & found).size}/${brute.toSet.size}")
+  }
+
   test("chaos resume: kills between group writes recover to exactly-once " +
       "completion with clean lineage") {
     import java.nio.file.{Files, Paths}
