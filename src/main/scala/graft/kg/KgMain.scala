@@ -23,7 +23,8 @@ import org.apache.spark.sql.SparkSession
 object KgMain {
 
   private val knownFlags = Set(
-    "out", "conv", "turns", "concepts", "buckets", "resume-groups", "seed")
+    "out", "conv", "turns", "concepts", "buckets", "resume-groups", "seed",
+    "blocking")
 
   def parse(args: Array[String]): KgPipeline.Config = {
     // fail fast on malformed invocations: an odd arg list means a flag
@@ -50,7 +51,8 @@ object KgMain {
       nConcepts = m.getOrElse("concepts", "500").toLong,
       buckets = m.getOrElse("buckets", "16").toInt,
       resumeGroups = m.getOrElse("resume-groups", "4").toInt,
-      seed = m.getOrElse("seed", "42").toLong)
+      seed = m.getOrElse("seed", "42").toLong,
+      blocking = m.getOrElse("blocking", "minhash"))
   }
 
   def main(args: Array[String]): Unit = {

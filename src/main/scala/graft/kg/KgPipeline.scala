@@ -37,7 +37,10 @@ object KgPipeline {
       nConcepts: Long = 500L,
       buckets: Int = 16,
       resumeGroups: Int = 4,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      // candidate-link blocking family: "minhash" (LSH bands) or "tfidf"
+      // (rarest-token blocks) — the north rule names both
+      blocking: String = "minhash")
 
   final case class Result(
       triples: Long, nodes: Long, edges: Long, components: Long,
@@ -61,7 +64,12 @@ object KgPipeline {
     // signatures live only in the fuzzy branch)
     val mentions = Linker.detectMentions(transcripts)
     val exact = Linker.linkExact(mentions, dict)
-    val fuzzy = Linker.linkFuzzy(mentions, dict)
+    val fuzzy = cfg.blocking match {
+      case "minhash" => Linker.linkFuzzy(mentions, dict)
+      case "tfidf"   => Linker.linkFuzzyTfidf(mentions, dict)
+      case other => throw new IllegalArgumentException(
+        s"unknown blocking family '$other' (minhash | tfidf)")
+    }
     Linker.toSssomRows(exact.unionByName(fuzzy))
   }
 

@@ -128,6 +128,15 @@ class KgPipelineSpec extends SparkSpec {
     assert(guaranteed.toSet.subsetOf(found),
       s"guaranteed pairs missed: ${guaranteed.toSet -- found}")
     info(s"recall vs brute force: ${(brute.toSet & found).size}/${brute.toSet.size}")
+    // reachable from spark-submit: --blocking tfidf selects this family
+    // end-to-end; unknown families fail fast
+    val tfCfg = KgMain.parse(Array("--out", "/tmp/kg_unused",
+      "--conv", "50", "--blocking", "tfidf"))
+    assert(tfCfg.blocking == "tfidf")
+    assert(KgPipeline.extractMappings(spark, tfCfg).count() > 0)
+    intercept[IllegalArgumentException] {
+      KgPipeline.extractMappings(spark, tfCfg.copy(blocking = "nope")).count()
+    }
   }
 
   test("chaos resume: kills between group writes recover to exactly-once " +
