@@ -94,6 +94,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(keep.toSeq == Seq(1L, 4L, 5L, 6L, 7L, 8L, 9L, 10L))
   }
 
+  test("linkFuzzyTfidf plans broadcast equi-joins, never a cartesian") {
+    import spark.implicits._
+    // repartition defeats ConvertToLocalRelation constant-folding so the
+    // join shape is actually planned
+    val mentions = Seq(("c1", 0, "protein kinase alpha"),
+      ("c1", 1, "gamma receptor site"))
+      .toDF("conv_id", "turn_idx", "mention").repartition(2)
+    val dict = Seq(("C:1", "protein kinase alpha", "pk"),
+      ("C:2", "gamma receptor", "gr"))
+      .toDF("concept_id", "label", "synonyms").repartition(2)
+    val p = graft.kg.Linker.linkFuzzyTfidf(mentions, dict)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"TF-IDF blocking must stay equi-join:\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the dictionary block table must broadcast")
+  }
+
   test("no cartesian in any doc/embed headline plan except the documented " +
       "exact baselines") {
     assume(has)
