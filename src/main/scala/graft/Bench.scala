@@ -42,7 +42,7 @@ object Bench {
     "q_embed_norm", "q_embed_topk", "q_embed_ann_lsh", "q_embed_ann_ivf",
     "q_embed_ann_pq",
     "q_embed_neardup", "q_embed_neardup_lsh", "q_embed_neardup_dedup",
-    "q_embed_neardup_dedup_lsh",
+    "q_embed_neardup_dedup_lsh", "q_doc_curation_scale",
     "q_multimodal_features",
     "q_cc_small", "q_kg_triples")
 

@@ -618,6 +618,18 @@ object SparkEntry {
         minStopHits = 1L)
     }),
 
+    // the same funnel with stage 5's pair generation in its crawl-scale
+    // form (zero-storage shingles). The arms are pair-set EQUAL — unlike
+    // recall-traded LSH arms — so this composition shares q_doc_curation's
+    // exact DuckDB oracle rather than a rows-only check
+    "q_doc_curation_scale" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Curation.curate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0),
+        minStopHits = 1L, scaleArms = true)
+    }),
+
     // leakage-safe split: simhash near-dup clusters (CC over the pair
     // graph) assigned as units by their canonical member's hash —
     // rows-only (CC is not SQL-expressible); witnessed in
@@ -704,7 +716,13 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  // q_doc_curation_scale swaps only stage 5's execution arm; its pair set
+  // (and so every decision) is equal by construction — it shares the
+  // default composition's oracle verbatim
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    ("q_doc_curation_scale" -> oracleSqlBase("q_doc_curation"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "q_collapse_agg" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, max(l_quantity) AS max_qty,
         | count(*) AS n FROM lineitem GROUP BY 1, 2, 3""".stripMargin,

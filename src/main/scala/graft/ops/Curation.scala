@@ -60,11 +60,22 @@ object Curation {
     *                   against (never appear in the output)
     * @param minStopHits stage-2 stop-word floor — Gopher publishes 2; a
     *                   corpus-appropriate value belongs to the caller
+    * @param scaleArms  stage-5 pair generation in its crawl-scale form:
+    *                   the shingle table is recomputed per consumer branch
+    *                   instead of materialized (`materializeShingles =
+    *                   false` — the zero-storage trade for inputs where
+    *                   ~8 B/token of executor-disk shingle spill is the
+    *                   binding cost). The pair set — and therefore every
+    *                   decision — is EQUAL by construction (the arms are
+    *                   equality-tested on the standalone query, and the
+    *                   composed equality is asserted in
+    *                   CurationPipelineSpec), unlike recall-traded LSH
+    *                   arms; the default stays the oracle's shape
     */
   def curate(corpusIn: DataFrame, benchmark: DataFrame,
       minWords: Long = 50L, maxWords: Long = 100000L,
       minStopHits: Long = 2L, decontamK: Int = 8, jaccardK: Int = 3,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+      jaccardThreshold: Double = 0.5, scaleArms: Boolean = false): DataFrame = {
     val corpus = SparkUtil.spread(corpusIn).select(col("doc_id"), col("text"))
 
     // stage 1 — exact duplicates: min doc_id per fingerprint; the shuffle
@@ -102,7 +113,8 @@ object Curation {
         col("q_keep") && col("r_keep") && !col("contaminated"))
       .select("doc_id")
     val pairs = Dedup.ngramJaccardNearDups(
-      corpus.join(survivors, "doc_id"), jaccardK, jaccardThreshold)
+      corpus.join(survivors, "doc_id"), jaccardK, jaccardThreshold,
+      materializeShingles = !scaleArms)
     val labels = graft.graph.Components.connectedComponents(
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")))
       .select(col("node").as("doc_id"), col("comp").as("cluster"))

@@ -35,6 +35,15 @@ class CurationSpec extends SparkSpec {
       jaccardThreshold = 0.5)
     .as[(Long, String)].collect().toMap
 
+  test("scaleArms composition: crawl-scale stage-5 arm yields decisions " +
+      "EQUAL to the default (not a recall trade)") {
+    val scale = Curation.curate(corpus, benchmark,
+        minWords = 5L, minStopHits = 0L, decontamK = 3, jaccardK = 3,
+        jaccardThreshold = 0.5, scaleArms = true)
+      .as[(Long, String)].collect().toMap
+    assert(scale == decisions)
+  }
+
   test("every stage fires on its crafted document, first-failing wins") {
     assert(decisions == Map(
       1L -> "kept",       // canonical of the exact-dup pair
