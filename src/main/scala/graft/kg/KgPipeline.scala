@@ -189,11 +189,15 @@ object KgPipeline {
       }
     }
 
-    // snapshot manifest (atomic via temp + move)
-    val nTriples = bucketed.count()
-    val nComponents = bucketed.select("component").distinct().count()
-    val nNodes = bucketed.select(col(Schema.SubjectId).as("n"))
-      .union(bucketed.select(col(Schema.ObjectId).as("n")))
+    // snapshot manifest (atomic via temp + move). Two passes over the
+    // checkpointed edge table, not three: triple + component counts fuse
+    // into one aggregate; the node count needs its own explode-distinct
+    // (subjects ∪ objects is a different row domain)
+    val tc = bucketed.agg(count(lit(1)).as("t"),
+      countDistinct(col("component")).as("c")).first()
+    val (nTriples, nComponents) = (tc.getLong(0), tc.getLong(1))
+    val nNodes = bucketed.select(explode(array(
+        col(Schema.SubjectId), col(Schema.ObjectId))).as("n"))
       .distinct().count()
     val manifest =
       s"""{"format":"iceberg-layout-v1","schema":["subject_id","predicate_id","object_id","component","bucket"],

@@ -95,8 +95,11 @@ object CorpusStats {
     */
   def tfidfTopTerms(documentsIn: DataFrame, topPerDoc: Int = 3): DataFrame = {
     require(topPerDoc >= 1, s"need topPerDoc >= 1, got $topPerDoc")
+    // count the PRE-spread input: a parquet count is answered from
+    // row-group metadata, while counting the repartitioned frame would
+    // execute the spread shuffle just to throw the rows away
+    val nDocs = documentsIn.count()
     val documents = graft.core.SparkUtil.spread(documentsIn)
-    val nDocs = documents.count()
     val tf = tfTable(documents, None)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
@@ -285,7 +288,7 @@ object CorpusStats {
     val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "query has no terms")
     val documents = graft.core.SparkUtil.spread(documentsIn)
-    val nDocs = documents.count()
+    val nDocs = documentsIn.count() // pre-spread: metadata-only on parquet
     // the integer-scaled idf weight floor(nDocs*scale/df) is exact only
     // while nDocs*scale fits a Long — enforce the documented headroom
     // constraint ("drop scale toward 1 for huge corpora") instead of
