@@ -71,6 +71,20 @@ final case class PrefixMap(entries: Vector[(String, String)]) extends Serializab
     */
   def renamePrefixes(renames: Map[String, String]): PrefixMap =
     PrefixMap(entries.map { case (p, u) => (renames.getOrElse(p, p), u) })
+
+  /** Replace the expansion of the given prefixes (reference
+    * `curies.rewire` as used by `reconcile_prefix_and_data`,
+    * src/sssom/util.py:1594); prefixes absent from this map are added.
+    */
+  def rewireExpansions(expansions: Map[String, String]): PrefixMap = {
+    val rewired = entries.map { case (p, u) =>
+      (p, expansions.getOrElse(p, u))
+    }
+    val added = expansions.view
+      .filterKeys(p => !entries.exists(_._1 == p))
+      .map { case (p, u) => (p, u) }.toVector
+    PrefixMap(rewired ++ added)
+  }
 }
 
 object PrefixMap {

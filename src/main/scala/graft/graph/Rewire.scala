@@ -53,6 +53,14 @@ object Rewire {
       subjectToObject: Boolean = true,
       precedence: Seq[String] = Seq.empty): (DataFrame, Long) = {
     val m = rewireMap(mappings, subjectToObject, precedence)
+    rewireWithMap(triples, m)
+  }
+
+  /** Apply a pre-built (and possibly re-keyed, e.g. CURIE→IRI-expanded)
+    * rewrite map to a triple table.
+    */
+  def rewireWithMap(triples: DataFrame, m: Map[String, String])
+      : (DataFrame, Long) = {
     val bc = triples.sparkSession.sparkContext.broadcast(m)
     val rw = udf((v: String) => bc.value.getOrElse(v, v))
     val changed = udf((s: String, p: String, o: String) =>

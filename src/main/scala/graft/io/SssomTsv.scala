@@ -109,7 +109,8 @@ object SssomTsv {
   def read(spark: SparkSession, path: String,
       extraMeta: Vector[(String, MetaValue)] = Vector.empty,
       metaPath: Option[String] = None,
-      fetcher: Option[String => java.io.InputStream] = None): Msdf = {
+      fetcher: Option[String => java.io.InputStream] = None,
+      propagate: Boolean = true): Msdf = {
     // flexible input forms (reference `_open_input`, parsers.py:104-141):
     // raw string content (contains a newline), http(s) URL, file:// URL,
     // .gz or plain path. http(s) goes through the injected `fetcher`
@@ -117,7 +118,8 @@ object SssomTsv {
     // (parsers.py:116-120); this build is zero-egress, so there is no
     // default network fetcher and the branch stays testable offline.
     if (path.contains("\n") || path.contains("\r"))
-      return readFromString(spark, path, extraMeta = extraMeta)
+      return readFromString(spark, path, extraMeta = extraMeta,
+        propagate = propagate)
     if (path.startsWith("http://") || path.startsWith("https://")) {
       val f = fetcher.getOrElse(throw new UnsupportedOperationException(
         "http(s) input requires network access (reference fetches via " +
@@ -131,7 +133,8 @@ object SssomTsv {
         new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
       return readFromString(spark, content, sep = inferSeparator(
-        path.replaceAll("\\?.*$", "")), extraMeta = extraMeta)
+        path.replaceAll("\\?.*$", "")), extraMeta = extraMeta,
+        propagate = propagate)
     }
     val sep = inferSeparator(path)
     val headerLines = readHeaderLines(spark, path)
@@ -166,7 +169,7 @@ object SssomTsv {
       .option("inferSchema", "false")
       .option("mode", "PERMISSIVE")
       .csv(path)
-    postProcess(raw, meta, prefixes)
+    postProcess(raw, meta, prefixes, propagate)
   }
 
   /** Parse SSSOM TSV content handed in as a raw string (reference
@@ -175,7 +178,8 @@ object SssomTsv {
     * Dataset[String].
     */
   def readFromString(spark: SparkSession, content: String, sep: String = "\t",
-      extraMeta: Vector[(String, MetaValue)] = Vector.empty): Msdf = {
+      extraMeta: Vector[(String, MetaValue)] = Vector.empty,
+      propagate: Boolean = true): Msdf = {
     val lines = content.split("\r?\n", -1).toVector
     val headerLines = lines.takeWhile(_.startsWith("#"))
     val bodyLines = lines.drop(headerLines.length).filter(_.nonEmpty)
@@ -199,11 +203,11 @@ object SssomTsv {
       .option("inferSchema", "false")
       .option("mode", "PERMISSIVE")
       .csv(spark.createDataset(bodyLines))
-    postProcess(raw, meta, prefixes)
+    postProcess(raw, meta, prefixes, propagate)
   }
 
   private def postProcess(raw: DataFrame, meta: Vector[(String, MetaValue)],
-      prefixes: PrefixMap): Msdf = {
+      prefixes: PrefixMap, propagate: Boolean = true): Msdf = {
     // all-string discipline + "" for absent (reference parsers.py:178,193)
     val stringified = raw.select(raw.columns.map { c =>
       coalesce(col(c).cast(StringType), lit("")).as(c)
@@ -241,7 +245,8 @@ object SssomTsv {
         .otherwise(presentNonEmpty(Schema.ObjectId))
     val valid = withJust.filter(subjectOk && objectOk)
 
-    Msdf(valid, meta, prefixes).propagate()
+    val out = Msdf(valid, meta, prefixes)
+    if (propagate) out.propagate() else out
   }
 
   private def colOr(df: DataFrame, c: String) =

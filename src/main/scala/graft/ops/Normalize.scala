@@ -85,8 +85,10 @@ object Normalize {
   /** Rename prefixes in the map and rewire the data accordingly
     * (reference `reconcile_prefix_and_data`).
     */
-  def reconcilePrefixes(msdf: Msdf, renames: Map[String, String]): Msdf = {
-    val newPrefixes = msdf.prefixes.renamePrefixes(renames)
+  def reconcilePrefixes(msdf: Msdf, renames: Map[String, String],
+      expansions: Map[String, String] = Map.empty): Msdf = {
+    val newPrefixes =
+      msdf.prefixes.renamePrefixes(renames).rewireExpansions(expansions)
     val sc = msdf.df.sparkSession.sparkContext
     val bc = sc.broadcast(renames)
     val remap = udf { (v: String) =>
