@@ -309,6 +309,43 @@ class CliSpec extends SparkSpec {
       "<http://example.org/x/c> ."))
   }
 
+  test("tests.sh pipeline: the reference's shell smoke chain end-to-end") {
+    // mirrors /root/reference/tests/tests.sh (file variants; the URL
+    // variants are the documented offline error, asserted at the end)
+    val d = out("tests-sh")
+    Files.createDirectories(Paths.get(d))
+    val in1 = fixture("basic.tsv"); val in2 = fixture("basic2.tsv")
+    val in3 = fixture("basic3.tsv")
+    assert(cli("parse", in1, "--output", s"$d/parsed.tsv",
+      "--input-format", "tsv", "--prefix-map-mode", "merged") == 0)
+    assert(cli("split", in1, "--output-directory", d) == 0)
+    Seq("tsv", "json", "owl", "rdf").foreach { fmt =>
+      assert(cli("convert", in1, "--output", s"$d/converted.$fmt",
+        "--output-format", fmt) == 0)
+      assert(Files.size(Paths.get(s"$d/converted.$fmt")) > 0)
+    }
+    cli("validate", in1) // report printed; rc checked in its own test
+    assert(cli("dedupe", in1, "--output", s"$d/deduped.tsv") == 0)
+    assert(cli("diff", in1, in2, "-o", s"$d/diff.tsv") == 0)
+    assert(cli("partition", "-d", d, in1, in2) == 0)
+    assert(cli("cliquesummary", in1, "-o", s"$d/cliquesummary.tsv") == 0)
+    assert(cli("crosstab", in1, "-o", s"$d/crosstab.tsv") == 0)
+    assert(cli("correlations", in1, "-o", s"$d/correlations.tsv") == 0)
+    assert(cli("merge", in1, in2, in3, "-o", s"$d/merged.tsv") == 0)
+    // every TSV artifact re-parses
+    Seq("parsed", "deduped", "diff", "merged").foreach { n =>
+      assert(SssomTsv.read(spark, s"$d/$n.tsv").df.count() > 0)
+    }
+    val want = MergeReconcile.merge(Seq(in1, in2, in3).map(f =>
+      SssomTsv.read(spark, f)))
+    assert(SssomTsv.read(spark, s"$d/merged.tsv").df.count() ==
+      want.df.count())
+    // URL inputs raise the documented offline error (parsers.py:116-120)
+    intercept[UnsupportedOperationException] {
+      cli("parse", "https://example.org/basic.tsv", "-o", s"$d/url.tsv")
+    }
+  }
+
   // ---------- SPARQL: generator + evaluator round trip ----------
 
   private val graphTtl =
