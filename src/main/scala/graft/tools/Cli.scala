@@ -328,12 +328,19 @@ object Cli {
         return if (bad) 1 else 0
 
       case "split" =>
+        // --method (disjoint-indexes | dense-indexes) selects between the
+        // reference's two index-construction strategies with identical
+        // grouping semantics (parsers.py:1000-1135) — one hash
+        // aggregation here, so the value is accepted and irrelevant
         val msdf = SssomTsv.read(spark, input(p))
         val dir = p.one("output_directory").getOrElse(".")
         Files.createDirectories(Paths.get(dir))
         SqlOps.splitDataframe(msdf.df).toSeq.sortBy(_._1).foreach {
           case (key, df) =>
-            SssomTsv.write(msdf.withDf(df), s"$dir/$key.sssom.tsv")
+            // each part carries only its own prefixes (the reference's
+            // per-split subconverter, parsers.py:1076-1082)
+            SssomTsv.write(msdf.withDf(df).cleanPrefixMap(strict = false),
+              s"$dir/$key.sssom.tsv")
         }
 
       case "ptable" =>
