@@ -21,7 +21,8 @@ object Bench {
     "q_top3_per_flag", "q_doc_token_count", "q_doc_fingerprint",
     "q_doc_exact_dedup", "q_doc_quality", "q_doc_lang", "q_doc_lang_stats",
     "q_doc_split", "q_doc_sample", "q_doc_mix_sample",
-    "q_doc_importance_sample", "q_doc_train_order", "q_doc_snapshot_diff",
+    "q_doc_importance_sample", "q_doc_train_order", "q_doc_budget_select",
+    "q_doc_snapshot_diff",
     "q_doc_split_leakfree", "q_doc_curation", "q_doc_source_cap",
     "q_doc_minhash_neardup", "q_doc_minhash_incremental",
     "q_doc_ngram_jaccard", "q_doc_neardup_dedup",

@@ -603,6 +603,13 @@ object SparkEntry {
     "q_doc_train_order" -> ((s, dir) =>
       Sampling.trainOrder(t(s, dir, "documents"), nShards = 8)),
 
+    // quality-ranked selection under a fixed token budget: keep the
+    // maximal (score desc, id asc) prefix whose cumulative token count
+    // fits — distributed prefix sum over the slim projection, never text
+    "q_doc_budget_select" -> ((s, dir) =>
+      Sampling.selectByBudget(t(s, dir, "documents"), tokenBudget = 8000L,
+        score = TextOps.qualityScore(col("text")))),
+
     // end-to-end curation funnel: exact-dedup → Gopher lexical quality →
     // repetition → benchmark decontamination (8-gram) → near-dup dedup
     // among the survivors — one decision per document with the stage that
@@ -1555,6 +1562,32 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'),
         |   1, 8))::UBIGINT AS BIGINT) AS h
         | FROM documents)""".stripMargin,
+
+    // same integer quality score + token count as q_doc_quality /
+    // q_doc_token_count; cumulative sum is monotone (n_tokens >= 0), so
+    // WHERE cum <= budget is exactly the kept prefix
+    "q_doc_budget_select" ->
+      """WITH q AS (SELECT doc_id, CAST(
+        |  (CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 4
+        |    WHEN length(text) >= 20 THEN 2 ELSE 0 END)
+        |  + (CASE WHEN np > 0 AND np <= nt / 3 + 1 THEN 3 ELSE 1 END)
+        |  + (CASE WHEN nstop > 0 THEN 3 ELSE 1 END) AS BIGINT) AS score,
+        |  nt AS n_tokens
+        | FROM (SELECT doc_id, text,
+        |  CAST((length(text) - length(replace(text, '.', ''))) / 1 AS BIGINT) AS np,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |   END AS nt,
+        |  CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 AS BIGINT)
+        |  + CAST((length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT)
+        |   AS nstop
+        |  FROM documents))
+        |SELECT doc_id, score, n_tokens, cum_tokens
+        |FROM (SELECT doc_id, score, n_tokens,
+        |  SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |   ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM q)
+        |WHERE cum_tokens <= 8000""".stripMargin,
 
     // same marker counts + CASE as q_doc_lang, aggregated; avg is one
     // IEEE division of exact integers (bit-identical cross-engine)

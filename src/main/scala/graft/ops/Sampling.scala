@@ -212,4 +212,63 @@ object Sampling {
     val cut = (fraction * 4294967296.0).toLong
     df.filter(bucketHash(col(idCol), salt) < cut)
   }
+
+  /** Quality-ranked corpus selection under a global token budget: rank
+    * documents by (score desc, id asc) and keep the maximal prefix whose
+    * cumulative token count stays within `tokenBudget` — the standard
+    * "best data first" curation step when a training run has a fixed
+    * token budget. Deterministic: the kept SET is a pure function of
+    * (score, id, budget).
+    *
+    * Scale shape: the global rank needs one ordered pass, done as the
+    * same DISTRIBUTED PREFIX SUM as `Packing.concatChunk` — range-
+    * repartition the slim (id, score, n_tokens) projection (24 B/row,
+    * never text) by the rank key, per-partition token totals to the
+    * driver (one long per partition), prefix offsets broadcast back,
+    * then one parallel pass emits the within-budget prefix. Partitions
+    * whose start offset already exceeds the budget emit nothing. A
+    * `sum() OVER (ORDER BY ...)` window would express this but plans an
+    * un-partitioned global window = one task.
+    */
+  def selectByBudget(df: DataFrame, tokenBudget: Long, score: Column,
+      idCol: String = "doc_id", textCol: String = "text",
+      parts: Int = 0): DataFrame = {
+    require(tokenBudget >= 0, s"tokenBudget must be >= 0, got $tokenBudget")
+    val spark = df.sparkSession
+    val slim = graft.core.SparkUtil.spread(df).select(
+      col(idCol).cast("long").as("doc_id"),
+      score.cast("long").as("score"),
+      graft.text.TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val p = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    val sorted = graft.core.SparkUtil.materializeOnce(
+      slim.repartitionByRange(p, col("score").desc, col("doc_id"))
+        .sortWithinPartitions(col("score").desc, col("doc_id")))
+    val rows = sorted.rdd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val totals = rows.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; it.foreach(s += _._3); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = spark.sparkContext.broadcast(totals.scanLeft(0L)(_ + _))
+    val kept = rows.mapPartitionsWithIndex { (pid, it) =>
+      val start = offsets.value(pid)
+      if (start > tokenBudget) Iterator.empty
+      else {
+        var cum = start
+        it.flatMap { case (id, sc, nt) =>
+          cum += nt
+          if (cum <= tokenBudget)
+            Some(org.apache.spark.sql.Row(id, sc, nt, cum))
+          else None
+        }
+      }
+    }
+    spark.createDataFrame(kept, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cum_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
 }

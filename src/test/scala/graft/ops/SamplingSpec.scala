@@ -196,4 +196,44 @@ class SamplingSpec extends SparkSpec {
     val s0 = out.filter(_._2 == 0).sortBy(_._3).take(100).map(_._1)
     assert(s0.max - s0.min > 5000, "shard order correlated with id order")
   }
+
+  test("selectByBudget: maximal quality-ranked prefix within the budget, " +
+      "partitioning-independent") {
+    import org.apache.spark.sql.functions._
+    // deterministic synthetic docs with varied lengths and quality bands
+    val docs = (0L until 400L).map { i =>
+      val words = 3 + (i * 7 % 40).toInt
+      val base = Seq.fill(words)(s"w${i % 11}").mkString(" ")
+      val text = if (i % 3 == 0) base + " the end of it." else base
+      (i, text)
+    }.toDF("doc_id", "text")
+    val budget = 3000L
+    val out = Sampling.selectByBudget(docs, budget,
+      graft.text.TextOps.qualityScore(col("text")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._4)
+    // brute-force reference: single driver-side rank + cumsum
+    val ranked = docs.select(col("doc_id"),
+      graft.text.TextOps.qualityScore(col("text")).as("score"),
+      graft.text.TextOps.tokenCount(col("text")).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, sc, _) => (-sc, id) }
+    var cum = 0L
+    val want = ranked.flatMap { case (id, sc, nt) =>
+      cum += nt
+      if (cum <= budget) Some((id, sc, nt, cum)) else None
+    }
+    assert(out.toSeq == want.toSeq)
+    assert(out.map(_._3).sum <= budget)
+    // maximality: the next-ranked unselected doc would overflow
+    val nextNt = ranked.drop(want.length).headOption.map(_._3).getOrElse(0L)
+    assert(want.isEmpty || nextNt == 0L ||
+      out.map(_._3).sum + nextNt > budget)
+    // partitioning-independent: same set under a different parts count
+    val out2 = Sampling.selectByBudget(docs.repartition(7), budget,
+      graft.text.TextOps.qualityScore(col("text")), parts = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._4)
+    assert(out2.toSeq == out.toSeq)
+  }
 }
