@@ -305,24 +305,32 @@ object Cli {
         val msdf = SssomTsv.read(spark, input(p),
           propagate = p.flag("propagate"))
         val report = Validators.validate(msdf)
+        // reference SchemaValidationType values (constants.py:222-236);
+        // Shacl/Sparql need optional external validators there too
+        val known = Set("JsonSchema", "PrefixMapCompleteness",
+          "StrictCurieFormat")
         val requested = p.many("validation_types").toSet
+        val unknown = requested -- known
+        if (unknown.nonEmpty) throw new IllegalArgumentException(
+          s"unsupported validation type(s): ${unknown.toSeq.sorted.mkString(", ")}" +
+            s" (supported: ${known.toSeq.sorted.mkString(", ")})")
         def want(t: String) = requested.isEmpty || requested.contains(t)
         var bad = false
-        if (want("PrefixMapCompletenessValidation")) {
+        if (want("PrefixMapCompleteness")) {
           val ok = report.prefixViolations.isEmpty
           bad ||= !ok
-          println(s"PrefixMapCompletenessValidation: " +
+          println(s"PrefixMapCompleteness: " +
             (if (ok) "OK" else s"missing prefixes: " +
               report.prefixViolations.mkString(", ")))
         }
-        if (want("StrictCurieFormatValidation")) {
+        if (want("StrictCurieFormat")) {
           bad ||= report.curieFormatViolations > 0
-          println(s"StrictCurieFormatValidation: " +
+          println(s"StrictCurieFormat: " +
             s"${report.curieFormatViolations} violation(s)")
         }
-        if (want("JsonSchemaValidation")) {
+        if (want("JsonSchema")) {
           bad ||= report.schemaViolations > 0
-          println(s"JsonSchemaValidation: " +
+          println(s"JsonSchema: " +
             s"${report.schemaViolations} violation(s)")
         }
         return if (bad) 1 else 0

@@ -231,6 +231,13 @@ class CliSpec extends SparkSpec {
     val msdf = SssomTsv.read(spark, fixture("basic.tsv"))
     val want = graft.ops.Validators.validate(msdf)
     assert(rc == (if (want.isValid) 0 else 1))
+    // -V filters to the reference enum values; unknown types fail fast
+    assert(cli("validate", fixture("basic.tsv"),
+      "-V", "PrefixMapCompleteness") ==
+      (if (want.prefixViolations.isEmpty) 0 else 1))
+    intercept[IllegalArgumentException] {
+      cli("validate", fixture("basic.tsv"), "-V", "Shacl")
+    }
   }
 
   test("dosql registers df1..dfN and filename stems") {
