@@ -45,7 +45,9 @@ object Bench {
     "q_embed_neardup", "q_embed_neardup_lsh", "q_embed_neardup_dedup",
     "q_embed_neardup_dedup_lsh", "q_doc_curation_scale",
     "q_multimodal_features",
-    "q_cc_small", "q_kg_triples")
+    "q_cc_small", "q_kg_triples",
+    "q_kg_degree", "q_kg_bfs", "q_kg_pagerank", "q_kg_triangles",
+    "q_kg_cc_incremental", "q_doc_model_quality_trained")
 
   private def session(threads: Int, codegen: Boolean = true,
       aqe: Boolean = true, partsPerCore: Int = 1): SparkSession = {

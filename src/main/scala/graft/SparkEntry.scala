@@ -720,14 +720,123 @@ object SparkEntry {
       val cfg = KgPipeline.Config(outDir = "", nConv = 300L,
         turnsPerConv = 6, nConcepts = 200L)
       KgPipeline.buildGraph(KgPipeline.extractMappings(s, cfg))
+    }),
+
+    // ---- KG edge-table analytics (graph/Analytics.scala): the read-side
+    // ops consumers run over the materialized graph. All four are
+    // integer-exact / fixed-point — deterministic across partitionings
+    // and engines, so even PageRank carries a DuckDB hash oracle. ----
+    "q_kg_degree" -> ((s, dir) =>
+      graph.Analytics.degrees(kgAnalyticsEdges(s, dir))),
+    "q_kg_bfs" -> ((s, dir) => {
+      val seeds = t(s, dir, "region")
+        .select(concat(lit("r"), col("r_regionkey")).as("node"))
+      graph.Analytics.bfsDistances(kgAnalyticsEdges(s, dir), seeds,
+        maxHops = 3)
+    }),
+    "q_kg_pagerank" -> ((s, dir) =>
+      graph.Analytics.pageRankFixedPoint(kgAnalyticsEdges(s, dir),
+        iters = 10)),
+    "q_kg_triangles" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      // part co-occurrence graph: parts appearing in the same order
+      val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graph.Analytics.triangleCounts(pairs)
+    }),
+
+    // train→broadcast→infer loop for the model-quality filter: fit a
+    // hashed-BoW logistic regression on a token-derived label, then run
+    // the trained model through the map-side inference plumbing. Rows
+    // (one keep decision per doc) are deterministic; weight VALUES carry
+    // float-reduce jitter, so this is witness-checked (QualityTrainSpec),
+    // not oracled.
+    "q_doc_model_quality_trained" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.withColumn("y",
+        array_contains(split(lower(col("text")), "\\s+"), "spark")
+          .cast("int"))
+      val model = graft.text.QualityTrain.train(labeled, "text", "y",
+        dim = 1 << 10, iters = 12, lr = 5.0)
+      graft.text.QualityTrain.scoreWith(docs, model, "text")
+        .select(col("doc_id"), col("keep"))
+    }),
+
+    // incremental canonicalization: customer edges arrive as a DELTA over
+    // an already-labeled supplier∪nation graph; the oracle closes over
+    // the FULL union, so the hash match proves delta-merge ≡ recompute
+    "q_kg_cc_incremental" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier").select(
+        concat(lit("s"), col("s_suppkey")).as("src"),
+        concat(lit("n"), col("s_nationkey")).as("dst"))
+      val nat = t(s, dir, "nation").select(
+        concat(lit("n"), col("n_nationkey")).as("src"),
+        concat(lit("r"), col("n_regionkey")).as("dst"))
+      val delta = t(s, dir, "customer").select(
+        concat(lit("c"), col("c_custkey")).as("src"),
+        concat(lit("n"), col("c_nationkey")).as("dst"))
+      val base = Components.connectedComponents(sup.unionByName(nat))
+      graph.Incremental.mergeDelta(base, delta)
     })
   )
+
+  /** supplier→nation, customer→nation, nation→region as a prefixed
+    * string-id edge list (the analytics family's shared input).
+    */
+  private def kgAnalyticsEdges(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(
+      concat(lit("s"), col("s_suppkey")).as("src"),
+      concat(lit("n"), col("s_nationkey")).as("dst"))
+    val cust = t(s, dir, "customer").select(
+      concat(lit("c"), col("c_custkey")).as("src"),
+      concat(lit("n"), col("c_nationkey")).as("dst"))
+    val nat = t(s, dir, "nation").select(
+      concat(lit("n"), col("n_nationkey")).as("src"),
+      concat(lit("r"), col("n_regionkey")).as("dst"))
+    sup.unionByName(cust).unionByName(nat)
+  }
 
   // q_doc_curation_scale swaps only stage 5's execution arm; its pair set
   // (and so every decision) is equal by construction — it shares the
   // default composition's oracle verbatim
   def oracleSql: Map[String, String] = oracleSqlBase +
-    ("q_doc_curation_scale" -> oracleSqlBase("q_doc_curation"))
+    ("q_doc_curation_scale" -> oracleSqlBase("q_doc_curation")) +
+    ("q_kg_pagerank" -> pageRankOracleSql(10))
+
+  /** The analytics family's shared edge CTE (mirrors kgAnalyticsEdges). */
+  private val kgEdgesSql: String =
+    """e AS (
+      | SELECT concat('s', s_suppkey) AS src, concat('n', s_nationkey) AS dst FROM supplier
+      | UNION ALL
+      | SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer
+      | UNION ALL
+      | SELECT concat('n', n_nationkey), concat('r', n_regionkey) FROM nation)""".stripMargin
+
+  /** Fixed-point PageRank oracle: the identical integer recurrence as
+    * [[graft.graph.Analytics.pageRankFixedPoint]] (scale 1e9, damping
+    * 85/100, floor division, no dangling redistribution), unrolled to
+    * `iters` chained CTEs — standard SQL forbids aggregation inside a
+    * recursive member, and the recurrence is integer-exact so the
+    * unrolled oracle hash-matches bit-for-bit.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT n.node,
+         | CAST(150000000 + (COALESCE(m.in_mass, 0) * 85) // 100 AS BIGINT) AS rank
+         | FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS node, CAST(SUM(r.rank // d.out_deg) AS BIGINT) AS in_mass
+         |  FROM e JOIN r${k - 1} r ON r.node = e.src
+         |  JOIN od d ON d.node = e.src GROUP BY 1) m ON m.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $kgEdgesSql,
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+       |$steps
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
 
   private val oracleSqlBase: Map[String, String] = Map(
     "q_collapse_agg" ->
@@ -913,6 +1022,64 @@ object SparkEntry {
         | UNION
         | SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node)
         |SELECT node, min(comp) AS comp FROM reach GROUP BY node""".stripMargin,
+
+    "q_kg_cc_incremental" ->
+      """WITH RECURSIVE e0 AS (
+        | SELECT concat('s', s_suppkey) AS a, concat('n', s_nationkey) AS b FROM supplier
+        | UNION ALL
+        | SELECT concat('n', n_nationkey), concat('r', n_regionkey) FROM nation
+        | UNION ALL
+        | SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer),
+        |und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |reach(node, comp) AS (
+        | SELECT a, a FROM und
+        | UNION
+        | SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node)
+        |SELECT node, min(comp) AS comp FROM reach GROUP BY node""".stripMargin,
+
+    "q_kg_degree" ->
+      """WITH e AS (
+        | SELECT concat('s', s_suppkey) AS src, concat('n', s_nationkey) AS dst FROM supplier
+        | UNION ALL
+        | SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer
+        | UNION ALL
+        | SELECT concat('n', n_nationkey), concat('r', n_regionkey) FROM nation),
+        |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+        |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1)
+        |SELECT COALESCE(o.node, i.node) AS node,
+        | COALESCE(o.out_deg, 0) AS out_deg, COALESCE(i.in_deg, 0) AS in_deg,
+        | COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS deg
+        |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin,
+
+    "q_kg_bfs" ->
+      """WITH RECURSIVE e AS (
+        | SELECT concat('s', s_suppkey) AS src, concat('n', s_nationkey) AS dst FROM supplier
+        | UNION ALL
+        | SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer
+        | UNION ALL
+        | SELECT concat('n', n_nationkey), concat('r', n_regionkey) FROM nation),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |walk(node, dist) AS (
+        | SELECT concat('r', r_regionkey), CAST(0 AS BIGINT) FROM region
+        | UNION ALL
+        | SELECT u.dst, w.dist + 1 FROM walk w JOIN und u ON u.src = w.node
+        | WHERE w.dist < 3)
+        |SELECT node, min(dist) AS dist FROM walk GROUP BY node""".stripMargin,
+
+    "q_kg_triangles" ->
+      """WITH pairs AS (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |tri AS (
+        | SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+        |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        | SELECT x AS node FROM tri
+        | UNION ALL SELECT y FROM tri
+        | UNION ALL SELECT z FROM tri)
+        |GROUP BY node""".stripMargin,
 
     "q_doc_token_count" ->
       """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0

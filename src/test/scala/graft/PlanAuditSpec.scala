@@ -113,6 +113,18 @@ class PlanAuditSpec extends SparkSpec {
       "the dictionary block table must broadcast")
   }
 
+  test("KG analytics family: every plan stays equi-join (no cartesian)") {
+    assume(has)
+    Seq("q_kg_degree", "q_kg_bfs", "q_kg_pagerank", "q_kg_triangles",
+      "q_kg_cc_incremental")
+      .foreach { q =>
+        val p = physical(SparkEntry.queries(q)(spark, dir))
+        assert(!p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans a cartesian:\n${p.take(1500)}")
+      }
+  }
+
   test("no cartesian in any doc/embed headline plan except the documented " +
       "exact baselines") {
     assume(has)

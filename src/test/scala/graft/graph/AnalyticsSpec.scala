@@ -1,0 +1,124 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Brute-force witnesses for the KG edge-table analytics family.
+  *
+  * Every op is integer-exact, so all comparisons here are strict
+  * equality — no tolerances. Graphs are seeded with an explicit LCG
+  * (deterministic across runs and JVMs).
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic edge set over `n` nodes: keep (a, b), a < b, when the
+    * LCG accepts with probability ~`pPct`/100.
+    */
+  private def seededEdges(n: Int, pPct: Int, seed: Long): Seq[(Long, Long)] = {
+    var state = seed
+    def next(): Long = { state = state * 6364136223846793005L + 1442695040888963407L; state }
+    for {
+      a <- 0 until n
+      b <- (a + 1) until n
+      if math.floorMod(next(), 100L) < pPct
+    } yield (a.toLong, b.toLong)
+  }
+
+  test("degrees: exact in/out/total over a handmade directed graph") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val got = Analytics.degrees(edges).as[(Long, Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 4L), // out: →2,→3; in: 3→, 4→
+      (2L, 1L, 1L, 2L),
+      (3L, 1L, 2L, 3L),
+      (4L, 1L, 0L, 1L)))
+  }
+
+  test("bfsDistances equals driver BFS, and converges early when the " +
+      "frontier empties before maxHops") {
+    val edges = seededEdges(60, 4, seed = 7L)
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val seedNodes = Seq(0L, 1L)
+    def driverBfs(maxHops: Int): Map[Long, Long] = {
+      // seeds are included at dist 0 whether or not they touch an edge
+      var dist = seedNodes.map(_ -> 0L).toMap
+      var frontier = dist.keySet
+      var hop = 1L
+      while (hop <= maxHops && frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+        dist ++= next.map(_ -> hop)
+        frontier = next
+        hop += 1
+      }
+      dist
+    }
+    val edf = edges.toDF("src", "dst")
+    val sdf = seedNodes.toDF("node")
+    for (k <- Seq(0, 1, 3)) {
+      val got = Analytics.bfsDistances(edf, sdf, maxHops = k)
+        .as[(Long, Long)].collect().toMap
+      assert(got == driverBfs(k), s"maxHops=$k")
+    }
+    // maxHops far past the diameter: early-exit path, still exact
+    val far = Analytics.bfsDistances(edf, sdf, maxHops = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(far == driverBfs(30))
+  }
+
+  test("triangleCounts equals brute-force triple enumeration") {
+    val edges = seededEdges(40, 15, seed = 11L)
+    val es = edges.toSet
+    def adjacent(a: Long, b: Long) =
+      es.contains((math.min(a, b), math.max(a, b)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = scala.collection.mutable.Map.empty[Long, Long]
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if adjacent(a, b) && adjacent(b, c) && adjacent(a, c)
+    } Seq(a, b, c).foreach(n => brute(n) = brute.getOrElse(n, 0L) + 1)
+    // feed UNCANONICAL input: reversed duplicates must not double-count
+    val noisy = (edges ++ edges.map(_.swap)).toDF("src", "dst")
+    val got = Analytics.triangleCounts(noisy)
+      .as[(Long, Long)].collect().toMap
+    assert(got == brute.toMap)
+    assert(got.nonEmpty, "seeded graph should contain triangles")
+  }
+
+  test("triangleCounts: star hub has zero triangles (no row emitted)") {
+    val star = (1L to 50L).map(i => (0L, i)).toDF("src", "dst")
+    assert(Analytics.triangleCounts(star).isEmpty)
+  }
+
+  test("pageRankFixedPoint is bit-identical across partitionings and " +
+      "equals the driver-side integer recurrence") {
+    val edges = seededEdges(50, 8, seed = 3L)
+    val scale = 1000000000L
+    // driver-side fixed-point recurrence (the oracle semantics)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val outDeg = edges.groupBy(_._1).map { case (k, vs) => k -> vs.size.toLong }
+    var rank = nodes.map(_ -> scale).toMap
+    for (_ <- 1 to 10) {
+      val inMass = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (u, v) =>
+        inMass(v) = inMass.getOrElse(v, 0L) + rank(u) / outDeg(u)
+      }
+      rank = nodes.map(n =>
+        n -> (scale * 15L / 100L + inMass.getOrElse(n, 0L) * 85L / 100L)).toMap
+    }
+    val edf = edges.toDF("src", "dst")
+    val a = Analytics.pageRankFixedPoint(edf.repartition(7), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    val b = Analytics.pageRankFixedPoint(edf.repartition(2), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "fixed-point PR must not depend on partitioning")
+    assert(a == rank, "distributed result must equal the driver recurrence")
+    // sinks keep at least the base mass; nothing exceeds total input mass
+    assert(a.values.forall(r => r >= scale * 15L / 100L &&
+      r <= scale * nodes.size))
+  }
+}
