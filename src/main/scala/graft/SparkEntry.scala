@@ -759,7 +759,7 @@ object SparkEntry {
         array_contains(split(lower(col("text")), "\\s+"), "spark")
           .cast("int"))
       val model = graft.text.QualityTrain.train(labeled, "text", "y",
-        dim = 1 << 10, iters = 12, lr = 5.0)
+        dim = 1 << 10, iters = 8, lr = 5.0)
       graft.text.QualityTrain.scoreWith(docs, model, "text")
         .select(col("doc_id"), col("keep"))
     }),

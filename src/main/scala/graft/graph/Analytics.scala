@@ -157,8 +157,12 @@ object Analytics {
     * orders of long headroom for in-degrees up to ~1e8).
     *
     * Each iteration is one equi-join (edges ⋈ ranks on src) + one
-    * partial-agg shuffle on dst — the canonical distributed PR step;
-    * `localCheckpoint` truncates lineage per round.
+    * partial-agg shuffle on dst. The rank lineage is a pure CHAIN (each
+    * iteration consumes the previous exactly once), so the whole
+    * recurrence compiles into ONE Spark job — no per-round checkpoint
+    * materialization, no no-CSE blowup. Only the multi-consumer inputs
+    * (the pre-joined edge×out-degree table and the node list, each read
+    * every iteration) are checkpointed once up front.
     *
     * @return (node, rank) with rank an integer multiple of 1/scale.
     */
@@ -168,22 +172,21 @@ object Analytics {
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)
-    val outDeg = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("out_deg"))
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    // (src, dst, out_deg), consumed once per iteration → checkpoint once
+    val edgesWithDeg = edges.join(outDeg, Seq("src"))
+      .localCheckpoint(true)
     val base = scale * 15L / 100L
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
-      .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contrib = edges
+      val contrib = edgesWithDeg
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"),
           expr("rank div out_deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           expr(s"$base + ((coalesce(in_mass, 0L) * 85) div 100)").as("rank"))
-        .localCheckpoint(true)
     }
     ranks
   }
