@@ -171,4 +171,67 @@ object TranscriptStream {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
+
+  /** Streaming canonicalization: each micro-batch's exactMatch link
+    * edges fold into a persisted (node, comp) labeling via
+    * [[graft.graph.Incremental.mergeDelta]] — connected components runs
+    * on the delta-sized super-graph only, and the corpus-wide labeling
+    * is touched by ONE hint-free remap equi-join per batch, never a
+    * full-graph CC.
+    *
+    * State layout: one complete snapshot per micro-batch at
+    * `$stateDir/labels/batch=<id>`. foreachBatch is at-least-once; a
+    * replayed batch reads the newest _SUCCESS-marked snapshot with
+    * id < its OWN batchId (its previous, possibly-partial output is
+    * thereby invisible) and overwrites its dir — idempotent, the same
+    * contract as linkStream's batchId-keyed layout and the KgPipeline
+    * resume ledger. The final labeling equals batch CC over the union
+    * of all batches' edges (TranscriptStreamSpec).
+    */
+  def canonicalizeStream(spark: SparkSession, inputDir: String,
+      dictionary: DataFrame, stateDir: String, checkpointDir: String,
+      availableNow: Boolean = false,
+      maxFilesPerTrigger: Int = 4): StreamingQuery = {
+    val stream = readTranscriptStream(spark, inputDir, maxFilesPerTrigger)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val links = Linker.linkExact(Linker.detectMentions(batch), dictionary)
+        val edges = Linker.toSssomRows(links)
+          .filter(col(graft.core.Schema.PredicateId) ===
+            graft.core.Schema.SkosExactMatch)
+          .select(col(graft.core.Schema.SubjectId).as("src"),
+            col(graft.core.Schema.ObjectId).as("dst"))
+        val labels = latestLabels(spark, stateDir, batchId)
+          .getOrElse(edges.select(col("src").as("node"),
+            col("src").as("comp")).limit(0))
+        graft.graph.Incremental.mergeDelta(labels, edges)
+          .write.mode("overwrite")
+          .parquet(s"$stateDir/labels/batch=$batchId")
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Newest complete label snapshot strictly BEFORE `beforeBatch`. */
+  private def latestLabels(spark: SparkSession, stateDir: String,
+      beforeBatch: Long): Option[DataFrame] = {
+    val root = new java.io.File(s"$stateDir/labels")
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap { d =>
+        d.getName match {
+          case s if s.startsWith("batch=") =>
+            scala.util.Try(s.stripPrefix("batch=").toLong).toOption
+              .filter(id => id < beforeBatch &&
+                new java.io.File(d, "_SUCCESS").exists())
+              .map(id => (id, d.getAbsolutePath))
+          case _ => None
+        }
+      }
+    dirs.sortBy(-_._1).headOption.map { case (_, path) =>
+      spark.read.parquet(path)
+    }
+  }
 }

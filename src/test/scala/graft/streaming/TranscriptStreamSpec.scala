@@ -53,6 +53,43 @@ class TranscriptStreamSpec extends SparkSpec {
     assert(rows.select("fingerprint").distinct().count() == rows.count())
   }
 
+  test("streaming canonicalization: folding each micro-batch's link " +
+      "edges into the persisted labeling equals batch CC over the union") {
+    val base = java.nio.file.Files.createTempDirectory("stream_cc").toString
+    val in = s"$base/in"; val st = s"$base/state"; val cp = s"$base/cp"
+    // three seed drops, several part-files each → many micro-batches at
+    // maxFilesPerTrigger = 1, stressing the snapshot-chain resume logic
+    Synthetic.transcripts(spark, 30, 4, 40)
+      .write.mode("append").parquet(in)
+    Synthetic.transcripts(spark, 30, 4, 40, seed = 43L)
+      .write.mode("append").parquet(in)
+    Synthetic.transcripts(spark, 30, 4, 40, seed = 44L)
+      .write.mode("append").parquet(in)
+    val dict = Synthetic.dictionary(spark, 40)
+
+    val q = TranscriptStream.canonicalizeStream(spark, in, dict, st, cp,
+      availableNow = true, maxFilesPerTrigger = 1)
+    q.awaitTermination(300000)
+
+    val snaps = new java.io.File(s"$st/labels").listFiles()
+      .filter(_.getName.startsWith("batch="))
+      .map(_.getName.stripPrefix("batch=").toLong)
+    assert(snaps.length > 1, "expected multiple micro-batch snapshots")
+    val got = spark.read.parquet(s"$st/labels/batch=${snaps.max}")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+
+    import graft.core.Schema
+    import graft.kg.Linker
+    val allEdges = Linker.toSssomRows(Linker.linkExact(
+        Linker.detectMentions(spark.read.parquet(in)), dict))
+      .filter(col(Schema.PredicateId) === Schema.SkosExactMatch)
+      .select(col(Schema.SubjectId).as("src"), col(Schema.ObjectId).as("dst"))
+    val want = graft.graph.Components.connectedComponents(allEdges)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == want,
+      s"incremental labeling diverged: ${got.size} vs ${want.size} nodes")
+  }
+
   // three single-file drops = three deterministic micro-batches at
   // maxFilesPerTrigger = 1; 30-min session gap, 10-min watermark.
   //   batch1: c1@0:00, c1@0:10, c2@0:05          (opens c1 s1, c2 s1)
