@@ -747,6 +747,23 @@ object SparkEntry {
       graph.Analytics.triangleCounts(pairs)
     }),
 
+    // range (interval) join as an equi-join: clicks attributed to the
+    // same user's errors within the preceding 2 h — interval rows
+    // replicate over 10-min bins, probes hit one bin, each pair meets
+    // exactly once (no dedup shuffle, no nested-loop join)
+    "q_event_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val errors = ev.filter(col("event_type") === "error").select(
+        col("event_id").as("err_id"), col("user_id"),
+        (us - lit(7200000000L)).as("lo"), us.as("hi"))
+      val clicks = ev.filter(col("event_type") === "click").select(
+        col("event_id").as("click_id"), col("user_id"), us.as("ts"))
+      graft.ops.RangeJoin.intervalJoin(errors, clicks,
+        binWidth = 600000000L, keyCol = "user_id")
+        .select(col("err_id"), col("click_id"))
+    }),
+
     // train→broadcast→infer loop for the model-quality filter: fit a
     // hashed-BoW logistic regression on a token-derived label, then run
     // the trained model through the map-side inference plumbing. Rows
@@ -1022,6 +1039,12 @@ object SparkEntry {
         | UNION
         | SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node)
         |SELECT node, min(comp) AS comp FROM reach GROUP BY node""".stripMargin,
+
+    "q_event_range_join" ->
+      """SELECT e.event_id AS err_id, c.event_id AS click_id
+        |FROM events e JOIN events c ON c.user_id = e.user_id
+        |WHERE e.event_type = 'error' AND c.event_type = 'click'
+        | AND c.ts >= e.ts - INTERVAL 2 HOUR AND c.ts < e.ts""".stripMargin,
 
     "q_kg_cc_incremental" ->
       """WITH RECURSIVE e0 AS (
