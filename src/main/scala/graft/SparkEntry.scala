@@ -747,6 +747,17 @@ object SparkEntry {
       graph.Analytics.triangleCounts(pairs)
     }),
 
+    // KMV corpus-overlap sketch: planning estimate for dedup runs —
+    // k smallest distinct fingerprints per side (TakeOrderedAndProject,
+    // never a corpus×corpus shuffle); the md5-hex sketch is
+    // deterministic, so even the ESTIMATE is DuckDB-oracled exactly
+    "q_doc_overlap_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      dedup.OverlapSketch.overlapEstimate(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        docs.filter(col("doc_id") % 2 === 0), "text", k = 64)
+    }),
+
     // range (interval) join as an equi-join: clicks attributed to the
     // same user's errors within the preceding 2 h — interval rows
     // replicate over 10-min bins, probes hit one bin, each pair meets
@@ -1039,6 +1050,25 @@ object SparkEntry {
         | UNION
         | SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node)
         |SELECT node, min(comp) AS comp FROM reach GROUP BY node""".stripMargin,
+
+    "q_doc_overlap_sketch" ->
+      """WITH a AS (
+        | SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents WHERE doc_id % 3 <> 0 ORDER BY fp LIMIT 64),
+        |b AS (
+        | SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents WHERE doc_id % 2 = 0 ORDER BY fp LIMIT 64),
+        |m AS (
+        | SELECT fp, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        |  SELECT fp, 1 AS in_a, 0 AS in_b FROM a
+        |  UNION ALL
+        |  SELECT fp, 0, 1 FROM b)
+        | GROUP BY fp ORDER BY fp LIMIT 64)
+        |SELECT CAST(count(*) AS BIGINT) AS k_union,
+        | CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+        | (1000000 * CAST(sum(in_a * in_b) AS BIGINT)) // CAST(count(*) AS BIGINT)
+        |  AS est_jaccard_ppm
+        |FROM m""".stripMargin,
 
     "q_event_range_join" ->
       """SELECT e.event_id AS err_id, c.event_id AS click_id
