@@ -48,7 +48,8 @@ object Bench {
     "q_cc_small", "q_kg_triples",
     "q_kg_degree", "q_kg_bfs", "q_kg_pagerank", "q_kg_triangles",
     "q_kg_cc_incremental", "q_doc_model_quality_trained",
-    "q_event_range_join", "q_doc_overlap_sketch")
+    "q_event_range_join", "q_doc_overlap_sketch",
+    "q_doc_compression_ratio")
 
   private def session(threads: Int, codegen: Boolean = true,
       aqe: Boolean = true, partsPerCore: Int = 1): SparkSession = {

@@ -747,6 +747,13 @@ object SparkEntry {
       graph.Analytics.triangleCounts(pairs)
     }),
 
+    // compression-ratio quality band-pass (deflate ‰ of raw size;
+    // kernel map pass, no shuffle). Deterministic but not
+    // SQL-expressible → rows-only, witnessed in CompressionRatioSpec
+    "q_doc_compression_ratio" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id") +: TextOps.compressionRatio(col("text")): _*)),
+
     // KMV corpus-overlap sketch: planning estimate for dedup runs —
     // k smallest distinct fingerprints per side (TakeOrderedAndProject,
     // never a corpus×corpus shuffle); the md5-hex sketch is

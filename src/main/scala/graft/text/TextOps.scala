@@ -298,4 +298,41 @@ object TextOps {
         when(col("n_scored").isNull, lit(false))
           .otherwise(score >= keepThreshold).as("keep"))
   }
+
+  /** Compression-ratio quality signal (deflate level 6): highly
+    * repetitive machine-generated text compresses far below natural
+    * prose, and near-random/binary soup barely compresses at all — the
+    * published web-corpus pipelines (Gopher's repetition rules are the
+    * hand-rolled cousin; CCNet and RefinedWeb both gate on it) band-pass
+    * documents on compressed/raw size.
+    *
+    * Shuffle-free kernel map pass (one JIT'd UDF call per row, no
+    * aggregation state). Deterministic for a fixed deflate
+    * implementation/level, but NOT SQL-expressible — witness-tested
+    * (pinned values for known-shape inputs, ordering invariants),
+    * no DuckDB oracle.
+    *
+    * @return (ratio_permille, keep) columns: compressed size as ‰ of
+    *         raw UTF-8 size (integer, stable to compare), and the
+    *         band-pass keep decision. Empty text → ratio 1000, drop.
+    */
+  def compressionRatio(text: Column, minPermille: Long = 200L,
+      maxPermille: Long = 900L): Seq[Column] = {
+    val kernel = udf { (t: String) =>
+      if (t == null || t.isEmpty) 1000L
+      else {
+        val raw = t.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6, /* nowrap = */ true)
+        d.setInput(raw); d.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        var n = 0L
+        while (!d.finished()) n += d.deflate(buf)
+        d.end()
+        n * 1000L / raw.length
+      }
+    }
+    val r = kernel(text)
+    Seq(r.as("ratio_permille"),
+      (r >= minPermille && r <= maxPermille).as("keep"))
+  }
 }
