@@ -838,7 +838,34 @@ object SparkEntry {
   // default composition's oracle verbatim
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("q_doc_curation_scale" -> oracleSqlBase("q_doc_curation")) +
-    ("q_kg_pagerank" -> pageRankOracleSql(10))
+    ("q_kg_pagerank" -> pageRankOracleSql(10)) +
+    // the analytics-family oracles share ONE edge-CTE definition
+    // (kgEdgesSql) so the SQL can never drift from kgAnalyticsEdges
+    ("q_kg_degree" ->
+      s"""WITH $kgEdgesSql,
+         |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+         |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1)
+         |SELECT COALESCE(o.node, i.node) AS node,
+         | COALESCE(o.out_deg, 0) AS out_deg, COALESCE(i.in_deg, 0) AS in_deg,
+         | COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS deg
+         |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin) +
+    ("q_kg_bfs" ->
+      s"""WITH RECURSIVE $kgEdgesSql,
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |walk(node, dist) AS (
+         | SELECT concat('r', r_regionkey), CAST(0 AS BIGINT) FROM region
+         | UNION ALL
+         | SELECT u.dst, w.dist + 1 FROM walk w JOIN und u ON u.src = w.node
+         | WHERE w.dist < 3)
+         |SELECT node, min(dist) AS dist FROM walk GROUP BY node""".stripMargin) +
+    ("q_kg_cc_incremental" ->
+      s"""WITH RECURSIVE $kgEdgesSql,
+         |und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+         |reach(node, comp) AS (
+         | SELECT a, a FROM und
+         | UNION
+         | SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node)
+         |SELECT node, min(comp) AS comp FROM reach GROUP BY node""".stripMargin)
 
   /** The analytics family's shared edge CTE (mirrors kgAnalyticsEdges). */
   private val kgEdgesSql: String =
@@ -1082,49 +1109,6 @@ object SparkEntry {
         |FROM events e JOIN events c ON c.user_id = e.user_id
         |WHERE e.event_type = 'error' AND c.event_type = 'click'
         | AND c.ts >= e.ts - INTERVAL 2 HOUR AND c.ts < e.ts""".stripMargin,
-
-    "q_kg_cc_incremental" ->
-      """WITH RECURSIVE e0 AS (
-        | SELECT concat('s', s_suppkey) AS a, concat('n', s_nationkey) AS b FROM supplier
-        | UNION ALL
-        | SELECT concat('n', n_nationkey), concat('r', n_regionkey) FROM nation
-        | UNION ALL
-        | SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer),
-        |und AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-        |reach(node, comp) AS (
-        | SELECT a, a FROM und
-        | UNION
-        | SELECT u.b, r.comp FROM reach r JOIN und u ON u.a = r.node)
-        |SELECT node, min(comp) AS comp FROM reach GROUP BY node""".stripMargin,
-
-    "q_kg_degree" ->
-      """WITH e AS (
-        | SELECT concat('s', s_suppkey) AS src, concat('n', s_nationkey) AS dst FROM supplier
-        | UNION ALL
-        | SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer
-        | UNION ALL
-        | SELECT concat('n', n_nationkey), concat('r', n_regionkey) FROM nation),
-        |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
-        |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1)
-        |SELECT COALESCE(o.node, i.node) AS node,
-        | COALESCE(o.out_deg, 0) AS out_deg, COALESCE(i.in_deg, 0) AS in_deg,
-        | COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS deg
-        |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin,
-
-    "q_kg_bfs" ->
-      """WITH RECURSIVE e AS (
-        | SELECT concat('s', s_suppkey) AS src, concat('n', s_nationkey) AS dst FROM supplier
-        | UNION ALL
-        | SELECT concat('c', c_custkey), concat('n', c_nationkey) FROM customer
-        | UNION ALL
-        | SELECT concat('n', n_nationkey), concat('r', n_regionkey) FROM nation),
-        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-        |walk(node, dist) AS (
-        | SELECT concat('r', r_regionkey), CAST(0 AS BIGINT) FROM region
-        | UNION ALL
-        | SELECT u.dst, w.dist + 1 FROM walk w JOIN und u ON u.src = w.node
-        | WHERE w.dist < 3)
-        |SELECT node, min(dist) AS dist FROM walk GROUP BY node""".stripMargin,
 
     "q_kg_triangles" ->
       """WITH pairs AS (

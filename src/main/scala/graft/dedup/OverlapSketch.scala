@@ -31,10 +31,15 @@ object OverlapSketch {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** The k lexicographically smallest DISTINCT fingerprints. */
+  /** The k lexicographically smallest DISTINCT fingerprints. Null text
+    * rows are excluded — Spark sorts NULL first while the SQL oracle
+    * sorts it last, and a null fingerprint occupying a sketch slot
+    * would silently bias the estimate.
+    */
   def kmvSketch(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     require(k > 0 && k <= (1 << 20), s"k out of range: $k")
     docs.select(fingerprint(col(textCol)).as("fp"))
+      .filter(col("fp").isNotNull)
       .distinct()
       .orderBy(col("fp"))
       .limit(k)
@@ -54,11 +59,10 @@ object OverlapSketch {
     */
   def overlapEstimate(a: DataFrame, b: DataFrame, textCol: String,
       k: Int): DataFrame = {
-    val sa = kmvSketch(a, textCol, k).withColumnRenamed("fp", "fp_a")
-    val sb = kmvSketch(b, textCol, k).withColumnRenamed("fp", "fp_b")
-    val merged = sa.select(col("fp_a").as("fp"), lit(1).as("in_a"),
-        lit(0).as("in_b"))
-      .unionByName(sb.select(col("fp_b").as("fp"), lit(0).as("in_a"),
+    val sa = kmvSketch(a, textCol, k)
+    val sb = kmvSketch(b, textCol, k)
+    val merged = sa.select(col("fp"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(sb.select(col("fp"), lit(0).as("in_a"),
         lit(1).as("in_b")))
       .groupBy("fp").agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
       .orderBy("fp").limit(k)

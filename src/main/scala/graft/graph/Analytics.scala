@@ -1,7 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over KG edge tables (beyond-reference tier).

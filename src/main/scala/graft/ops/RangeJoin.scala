@@ -25,7 +25,8 @@ object RangeJoin {
     *                  interval is the half-open [lo, hi), lo/hi LONG in
     *                  the caller's epoch unit
     * @param probes    rows with (`keyCol`, `tsCol`, …) — ts LONG, same
-    *                  unit
+    *                  unit; a null ts matches nothing (null bin never
+    *                  equi-joins), while a null interval bound raises
     * @param binWidth  bin width in the same unit
     * @return each (interval row ⧺ probe row) with key shared and
     *         lo <= ts < hi, exactly once; all non-key columns of both
@@ -53,8 +54,12 @@ object RangeJoin {
     val binHi = expr(floorDiv(s"$hiCol - 1"))
     val iv = intervals
       .withColumn(reserved, explode(
-        when(lo >= hi, raise_error(concat(lit("empty interval: lo="),
-          lo, lit(" hi="), hi)))
+        // a null bound would null the guard conditions AND the sequence,
+        // silently vanishing the row via explode — fail loud instead
+        when(lo.isNull || hi.isNull,
+          raise_error(lit("null interval bound (lo/hi must be set)")))
+          .when(lo >= hi, raise_error(concat(lit("empty interval: lo="),
+            lo, lit(" hi="), hi)))
           .when(binHi - binLo >= lit(maxBinsPerInterval.toLong),
             raise_error(concat(
               lit(s"interval spans more than $maxBinsPerInterval bins "),

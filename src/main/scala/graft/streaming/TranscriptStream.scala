@@ -208,30 +208,57 @@ object TranscriptStream {
         graft.graph.Incremental.mergeDelta(labels, edges)
           .write.mode("overwrite")
           .parquet(s"$stateDir/labels/batch=$batchId")
+        // replay only ever needs the newest complete snapshot below the
+        // running batch, so once batch=N lands, everything older is
+        // garbage — without pruning, state storage grows
+        // O(batches × corpus)
+        pruneLabels(spark, stateDir, batchId)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
   }
 
+  /** Complete (_SUCCESS-marked) snapshot ids under `$stateDir/labels`,
+    * via the Hadoop FileSystem API so non-local state dirs (hdfs://,
+    * s3a://) work — a java.io.File listing would silently return
+    * nothing there and every batch would fold into empty labels.
+    */
+  private def snapshotIds(spark: SparkSession,
+      stateDir: String): Seq[(Long, String)] = {
+    val root = new org.apache.hadoop.fs.Path(s"$stateDir/labels")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("batch=")) None
+        else scala.util.Try(name.stripPrefix("batch=").toLong).toOption
+          .filter(_ => fs.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          .map(id => (id, st.getPath.toString))
+      }
+  }
+
   /** Newest complete label snapshot strictly BEFORE `beforeBatch`. */
   private def latestLabels(spark: SparkSession, stateDir: String,
       beforeBatch: Long): Option[DataFrame] = {
-    val root = new java.io.File(s"$stateDir/labels")
-    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory)
-      .flatMap { d =>
-        d.getName match {
-          case s if s.startsWith("batch=") =>
-            scala.util.Try(s.stripPrefix("batch=").toLong).toOption
-              .filter(id => id < beforeBatch &&
-                new java.io.File(d, "_SUCCESS").exists())
-              .map(id => (id, d.getAbsolutePath))
-          case _ => None
-        }
+    snapshotIds(spark, stateDir)
+      .filter(_._1 < beforeBatch)
+      .sortBy(-_._1).headOption
+      .map { case (_, path) => spark.read.parquet(path) }
+  }
+
+  /** Drop complete snapshots older than `keepBatch` (superseded). */
+  private def pruneLabels(spark: SparkSession, stateDir: String,
+      keepBatch: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    snapshotIds(spark, stateDir)
+      .filter(_._1 < keepBatch)
+      .foreach { case (_, path) =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf).delete(p, true)
       }
-    dirs.sortBy(-_._1).headOption.map { case (_, path) =>
-      spark.read.parquet(path)
-    }
   }
 }

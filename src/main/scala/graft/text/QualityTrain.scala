@@ -45,26 +45,33 @@ object QualityTrain {
     math.floorMod(h, dim.toLong).toInt
   }
 
+  /** The ONE tokenize→bucket→normalized-tf kernel shared by training
+    * featurization and inference — parity between the two is the
+    * module's core contract, so there is exactly one copy.
+    */
+  private[text] def tokenBuckets(t: String, salt: String,
+      dim: Int): (Array[Int], Array[Double]) = {
+    val toks =
+      if (t == null) Array.empty[String]
+      else t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+        .filter(_.nonEmpty)
+    if (toks.isEmpty) (Array.empty[Int], Array.empty[Double])
+    else {
+      val counts = new scala.collection.mutable.HashMap[Int, Int]()
+      toks.foreach { tok =>
+        val b = bucketOf(tok, salt, dim)
+        counts(b) = counts.getOrElse(b, 0) + 1
+      }
+      val buckets = counts.keys.toArray.sorted
+      val tfs = buckets.map(b => counts(b).toDouble / toks.length)
+      (buckets, tfs)
+    }
+  }
+
   /** One compact feature row per doc: (doc_id, y, buckets, tfs). */
   private def featurize(docs: DataFrame, textCol: String, labelCol: String,
       idCol: String, dim: Int, salt: String): DataFrame = {
-    val feat = udf { (t: String) =>
-      val toks =
-        if (t == null) Array.empty[String]
-        else t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-          .filter(_.nonEmpty)
-      if (toks.isEmpty) (Array.empty[Int], Array.empty[Double])
-      else {
-        val counts = new scala.collection.mutable.HashMap[Int, Int]()
-        toks.foreach { tok =>
-          val b = bucketOf(tok, salt, dim)
-          counts(b) = counts.getOrElse(b, 0) + 1
-        }
-        val buckets = counts.keys.toArray.sorted
-        val tfs = buckets.map(b => counts(b).toDouble / toks.length)
-        (buckets, tfs)
-      }
-    }
+    val feat = udf { (t: String) => tokenBuckets(t, salt, dim) }
     docs.select(col(idCol).as("doc_id"),
         col(labelCol).cast("double").as("y"),
         feat(col(textCol)).as("f"))
@@ -134,7 +141,9 @@ object QualityTrain {
     * stub-weight [[TextOps.modelQualityScore]]: broadcast weight array,
     * one kernel call per row, no aggregation state — streams and
     * batch-filters alike. Output (doc_id, score, keep); empty docs
-    * score 0.5 (the model's "no evidence" point) and keep=false.
+    * score 0.5 (w·0 + untouched bias at init) and are NEVER kept —
+    * gated on the token count, not a score sentinel, so a genuine doc
+    * whose margin happens to be exactly 0 still obeys `keepThreshold`.
     */
   def scoreWith(docs: DataFrame, model: Model, textCol: String,
       idCol: String = "doc_id", keepThreshold: Double = 0.5): DataFrame = {
@@ -144,27 +153,18 @@ object QualityTrain {
     val dim = model.dim
     val salt = model.salt
     val scoreUdf = udf { (t: String) =>
-      val toks =
-        if (t == null) Array.empty[String]
-        else t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
-          .filter(_.nonEmpty)
-      if (toks.isEmpty) 0.5
+      val (buckets, tfs) = tokenBuckets(t, salt, dim)
+      if (buckets.isEmpty) (0.5, 0)
       else {
-        val counts = new scala.collection.mutable.HashMap[Int, Int]()
-        toks.foreach { tok =>
-          val bkt = bucketOf(tok, salt, dim)
-          counts(bkt) = counts.getOrElse(bkt, 0) + 1
-        }
         var z = bb
         val wArr = bw.value
-        counts.foreach { case (bkt, c) =>
-          z += wArr(bkt) * (c.toDouble / toks.length)
-        }
-        sigmoid(z)
+        var i = 0
+        while (i < buckets.length) { z += wArr(buckets(i)) * tfs(i); i += 1 }
+        (sigmoid(z), buckets.length)
       }
     }
-    docs.select(col(idCol).as("doc_id"), scoreUdf(col(textCol)).as("score"))
-      .withColumn("keep", col("score") >= keepThreshold &&
-        col("score") =!= 0.5)
+    docs.select(col(idCol).as("doc_id"), scoreUdf(col(textCol)).as("r"))
+      .select(col("doc_id"), col("r._1").as("score"),
+        (col("r._2") > 0 && col("r._1") >= keepThreshold).as("keep"))
   }
 }

@@ -74,7 +74,10 @@ class TranscriptStreamSpec extends SparkSpec {
     val snaps = new java.io.File(s"$st/labels").listFiles()
       .filter(_.getName.startsWith("batch="))
       .map(_.getName.stripPrefix("batch=").toLong)
-    assert(snaps.length > 1, "expected multiple micro-batch snapshots")
+    // superseded snapshots are pruned after each batch; batchId > 0 on
+    // the survivor proves multiple micro-batches actually ran
+    assert(snaps.length == 1, s"expected one pruned snapshot, got ${snaps.toSeq}")
+    assert(snaps.max > 0, "expected multiple micro-batches")
     val got = spark.read.parquet(s"$st/labels/batch=${snaps.max}")
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
 
