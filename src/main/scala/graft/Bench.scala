@@ -49,7 +49,8 @@ object Bench {
     "q_kg_degree", "q_kg_bfs", "q_kg_pagerank", "q_kg_triangles",
     "q_kg_cc_incremental", "q_doc_model_quality_trained",
     "q_event_range_join", "q_doc_overlap_sketch",
-    "q_doc_compression_ratio")
+    "q_doc_compression_ratio",
+    "q_doc_length_outliers", "q_doc_cms_heavy")
 
   private def session(threads: Int, codegen: Boolean = true,
       aqe: Boolean = true, partsPerCore: Int = 1): SparkSession = {

@@ -695,6 +695,23 @@ object SparkEntry {
       CorpusStats.keywordSearch(t(s, dir, "documents"),
         query = "spark merge customer", topK = 20)),
 
+    // per-source length-distribution tail trim: keep iff the doc's
+    // (length, doc_id) rank sits inside the [2%, 98%] band of its
+    // source — pure integer band test, exact window arm (the 100 TB
+    // path is the percentile_approx band from lengthQuantiles)
+    "q_doc_length_outliers" -> ((s, dir) =>
+      CorpusStats.lengthOutlierTrim(t(s, dir, "documents"),
+        loPermille = 20, hiPermille = 980)),
+
+    // count-min-sketch heavy hitters: bounded depth×width sketch state
+    // (the exchange never grows with the vocabulary), md5-derived
+    // buckets so even the ESTIMATES are deterministic → full oracle;
+    // the one-sided est ≥ truth guarantee is witnessed in
+    // CorpusStatsSpec
+    "q_doc_cms_heavy" -> ((s, dir) =>
+      CorpusStats.cmsHeavyHitters(t(s, dir, "documents"),
+        depth = 4, width = 8192, minFreq = 64L)),
+
     "q_doc_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 8)),
 
@@ -1878,6 +1895,40 @@ object SparkEntry {
         |FROM r CROSS JOIN
         | (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
         |WHERE rn = CAST(ceil(q * n_docs) AS BIGINT)""".stripMargin,
+
+    // integer band test (rank−1)·1000 vs permille·(n−1): no float ratio
+    // ever forms, so the keep bit is engine-portable; (n, doc_id) is a
+    // strict total order so row_number is reproducible
+    "q_doc_length_outliers" ->
+      """WITH l AS (SELECT doc_id, source,
+        |  CAST(coalesce(length(text), 0) AS BIGINT) AS n FROM documents),
+        |r AS (SELECT doc_id, source, n,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY n, doc_id) AS BIGINT) AS rn,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        | FROM l)
+        |SELECT doc_id, source, n, rn, n_src,
+        | ((rn - 1) * 1000 >= 20 * (n_src - 1)
+        |  AND (rn - 1) * 1000 <= 980 * (n_src - 1)) AS keep
+        |FROM r""".stripMargin,
+
+    // CMS build = occurrences × 4 rows → bounded (row, bucket) agg;
+    // estimate = min over rows; md5 buckets match Spark's
+    // conv(substr(md5)) kernel bit-for-bit
+    "q_doc_cms_heavy" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0)) AS term FROM documents),
+        |occ AS (SELECT term, unnest([0, 1, 2, 3]) AS r FROM tok),
+        |h AS (SELECT term, r,
+        |  CAST(('0x' || substr(md5(term || ':cms' || r), 1, 8))::UBIGINT
+        |   % 8192 AS BIGINT) AS bucket FROM occ),
+        |cms AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        | FROM h GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT term, r, bucket FROM h)
+        |SELECT cand.term, CAST(min(cms.cnt) AS BIGINT) AS est_freq
+        |FROM cand JOIN cms USING (r, bucket)
+        |GROUP BY 1 HAVING min(cms.cnt) >= 64""".stripMargin,
 
     // integer-scaled idf weights floor(N*scale/df) make the per-doc
     // score an exact integer sum — order-free, engine-portable

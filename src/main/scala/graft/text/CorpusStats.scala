@@ -260,6 +260,101 @@ object CorpusStats {
     }
   }
 
+  /** Per-source length-outlier trim: keep each document iff its rank in
+    * the source's character-length distribution lies inside the
+    * [loPermille, hiPermille] band — the distribution-tail filter that
+    * cuts truncated fragments and concatenation blobs per source
+    * without a global length cutoff (a threshold right for web prose is
+    * wrong for code or reference tables).
+    *
+    * Determinism: ranks order by (length, doc_id) — a strict total
+    * order, so row_number is reproducible — and the band test is pure
+    * integer arithmetic, (rank−1)·1000 vs permille·(n−1): no float
+    * ratio ever forms, so the keep bit hash-compares across engines.
+    * Null text ranks as length 0 (same coalesce rationale as
+    * [[lengthQuantiles]]: Spark sorts NULL first, DuckDB last).
+    *
+    * Scale shape: one window pass partitioned by source — exact ranks
+    * need the per-source sort (spillable; the sort IS the cost of
+    * exactness, as in `lengthQuantiles`' oracle arm). At 100 TB the
+    * sketch path is the `lengthQuantiles(approximate = true)` band +
+    * a shuffle-free length comparison; this exact arm is the
+    * oracle-checkable twin.
+    */
+  def lengthOutlierTrim(documentsIn: DataFrame, loPermille: Int = 20,
+      hiPermille: Int = 980): DataFrame = {
+    require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
+      s"need 0 <= lo <= hi <= 1000 permille, got $loPermille, $hiPermille")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val w = Window.partitionBy("source")
+    val ranked = documents
+      .select(col("doc_id"), col("source"),
+        coalesce(length(col("text")).cast("long"), lit(0L)).as("n"))
+      .withColumn("n_src", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("n").asc, col("doc_id").asc)).cast("long"))
+    ranked.select(col("doc_id"), col("source"), col("n"), col("rn"),
+      col("n_src"),
+      ((col("rn") - 1L) * 1000L >= lit(loPermille.toLong) * (col("n_src") - 1L)
+        && (col("rn") - 1L) * 1000L <=
+          lit(hiPermille.toLong) * (col("n_src") - 1L)).as("keep"))
+  }
+
+  /** Count-min-sketch heavy hitters: estimated frequency of every
+    * candidate term from a depth×width CMS (Cormode & Muthukrishnan,
+    * J. Algorithms 2005), keeping terms whose estimate clears `minFreq`.
+    *
+    * Scale shape — the point of the sketch: the CMS build is one token
+    * explode ×depth followed by groupBy(row, bucket), whose key space is
+    * depth·width — BOUNDED, so map-side partial aggregation collapses
+    * every partition to at most depth·width rows no matter how many
+    * tokens flow through (contrast the exact `tokenFreqScore` vocabulary
+    * table, whose exchange grows with distinct terms). The probe side
+    * joins candidates×depth against the sketch on (row, bucket) and
+    * takes the min across rows. Candidates here are the corpus's own
+    * distinct terms (the demo probe set — distinct-collapse is also
+    * map-side partial); a production run probes an external watch list
+    * and never materializes the vocabulary.
+    *
+    * Determinism: buckets are md5-derived (same `conv(substr(md5))`
+    * kernel as `modelQualityScore`), so the sketch — and therefore every
+    * ESTIMATE, not just the underlying truth — is a pure function of the
+    * corpus: the operator carries an exact DuckDB oracle. The one-sided
+    * CMS guarantee (estimate ≥ true frequency; overestimate ≤ e·N/width
+    * w.h.p.) is witnessed against exact counts in CorpusStatsSpec.
+    */
+  def cmsHeavyHitters(documentsIn: DataFrame, depth: Int = 4,
+      width: Int = 8192, minFreq: Long = 64L): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth out of range: $depth")
+    require(width >= 16 && width <= (1 << 24), s"width out of range: $width")
+    require(minFreq >= 1L, s"need minFreq >= 1, got $minFreq")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    def bucket(term: Column, row: Int): Column =
+      pmod(conv(substring(md5(concat(term, lit(s":cms$row"))), 1, 8),
+        16, 10).cast("long"), lit(width.toLong))
+    // explicit boundary: the token explode feeds both the sketch build
+    // and the candidate set, and Generate is invisible to materializeOnce
+    // pre-analysis (same note as tokenFreqScore)
+    val tok = documents.select(explode(toks(col("text"))).as("term"))
+      .localCheckpoint(true)
+    val rows = (0 until depth)
+    val cms = tok
+      .select(explode(array(rows.map(i =>
+        struct(lit(i).as("row"), bucket(col("term"), i).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val candidates = tok.distinct()
+      .select(col("term"), explode(array(rows.map(i =>
+        struct(lit(i).as("row"), bucket(col("term"), i).as("bucket"))): _*))
+        .as("rb"))
+      .select(col("term"), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+    candidates.join(cms, Seq("row", "bucket"))
+      .groupBy("term")
+      .agg(min("cnt").as("est_freq"))
+      .filter(col("est_freq") >= minFreq)
+  }
+
   /** Keyword search: top-k documents for a whitespace query string by
     * summed tf·idf of its distinct terms — the retrieval shape (inverted
     * scoring + global top-k) over the same linear-idf family as

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 /** Corpus-statistics operators against hand-computed fixtures: exact
   * n-gram counts with deterministic tie-breaks, and the linear-idf
@@ -161,5 +162,58 @@ class CorpusStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"global top-k must be a heap merge, not a sort:\n${plan.take(1200)}")
+  }
+
+  test("lengthOutlierTrim: integer band on (length, doc_id) ranks; " +
+      "nulls rank as length 0") {
+    // src a: lengths 1..10 → with lo=200‰, hi=800‰ keep ranks where
+    // (rn-1)*1000 in [200*9, 800*9] → rn in [2.8, 8.2] → ranks 3..8
+    val docs = (1L to 10L).map(i => (i, "a", "x" * i.toInt)) :+
+      ((11L, "b", null.asInstanceOf[String])) :+ ((12L, "b", "yy"))
+    val out = CorpusStats.lengthOutlierTrim(
+      docs.toDF("doc_id", "source", "text"), 200, 800)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1).toSeq
+    assert(out.filter(_._2 == "a").map(r => (r._1, r._6)) ==
+      (1L to 10L).map(i => (i, i >= 3 && i <= 8)))
+    // src b: n=2 → band is (rn-1)*1000 in [200, 800] → neither rank 1
+    // (0) nor rank 2 (1000) survives; null text ranks first at length 0
+    assert(out.filter(_._2 == "b") == Seq(
+      (11L, "b", 0L, 1L, 2L, false), (12L, "b", 2L, 2L, 2L, false)))
+  }
+
+  test("lengthOutlierTrim: degenerate band keeps a single-doc source") {
+    // n_src=1 → both sides are 0 >= 0 and 0 <= 0: kept for any band
+    val docs = Seq((1L, "solo", "abc")).toDF("doc_id", "source", "text")
+    val out = CorpusStats.lengthOutlierTrim(docs, 20, 980)
+      .as[(Long, String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, "solo", 3L, 1L, 1L, true)))
+  }
+
+  test("cmsHeavyHitters: estimate >= exact frequency (one-sided CMS " +
+      "guarantee), heavy terms recalled, sketch state bounded") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val est = CorpusStats.cmsHeavyHitters(docs, depth = 4, width = 4096,
+      minFreq = 1L).as[(String, Long)].collect().toMap
+    val exact = docs
+      .select(explode(filter(split(lower(trim($"text")), "\\s+"),
+        t => length(t) > 0)).as("term"))
+      .groupBy("term").count().as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    // one-sided: CMS never undercounts
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"undercount for '$t': ${est(t)} < $n") }
+    // overestimate bound: expected collision mass per row is N/width;
+    // the min over 4 independent rows sits well under a few multiples
+    val nTok = exact.values.sum
+    val worst = exact.map { case (t, n) => est(t) - n }.max
+    assert(worst <= math.max(8L * nTok / 4096, 8L),
+      s"overestimate $worst exceeds the sketch error budget")
+    // recall at a threshold: every term with exact >= 32 must clear
+    // minFreq=32 in the sketch (est >= exact makes this structural)
+    val heavy = exact.filter(_._2 >= 32L).keySet
+    val selected = CorpusStats.cmsHeavyHitters(docs, depth = 4,
+      width = 4096, minFreq = 32L).as[(String, Long)].collect().map(_._1).toSet
+    assert(heavy.subsetOf(selected))
   }
 }
