@@ -47,6 +47,7 @@ object Bench {
     "q_multimodal_features",
     "q_cc_small", "q_kg_triples",
     "q_kg_degree", "q_kg_bfs", "q_kg_pagerank", "q_kg_triangles",
+    "q_kg_kcore",
     "q_kg_cc_incremental", "q_doc_model_quality_trained",
     "q_event_range_join", "q_doc_overlap_sketch",
     "q_doc_compression_ratio",

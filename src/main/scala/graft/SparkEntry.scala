@@ -764,6 +764,19 @@ object SparkEntry {
       graph.Analytics.triangleCounts(pairs)
     }),
 
+    // k-core density filter over the same co-occurrence graph: iterative
+    // peeling to the fixpoint (6 rounds at sf0.01 AND sf0.1; fail-loud
+    // past maxRounds). Peeling is monotone, so the 10-round unrolled
+    // oracle hash-matches any earlier convergence bit-for-bit
+    "q_kg_kcore" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graph.Analytics.kCore(pairs, k = 80, maxRounds = 10)
+    }),
+
     // compression-ratio quality band-pass (deflate ‰ of raw size;
     // kernel map pass, no shuffle). Deterministic but not
     // SQL-expressible → rows-only, witnessed in CompressionRatioSpec
@@ -856,6 +869,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("q_doc_curation_scale" -> oracleSqlBase("q_doc_curation")) +
     ("q_kg_pagerank" -> pageRankOracleSql(10)) +
+    ("q_kg_kcore" -> kCoreOracleSql(80, 10)) +
     // the analytics-family oracles share ONE edge-CTE definition
     // (kgEdgesSql) so the SQL can never drift from kgAnalyticsEdges
     ("q_kg_degree" ->
@@ -900,6 +914,34 @@ object SparkEntry {
     * recursive member, and the recurrence is integer-exact so the
     * unrolled oracle hash-matches bit-for-bit.
     */
+  /** k-core peeling oracle: `rounds` unrolled peel steps over the part
+    * co-occurrence graph (standard SQL forbids aggregation inside a
+    * recursive member, same constraint as the PageRank oracle). Peeling
+    * is monotone — once the Spark side converges, further rounds are
+    * no-ops — so unrolling a FIXED round count ≥ the actual peel depth
+    * reproduces [[graft.graph.Analytics.kCore]] exactly.
+    */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    // each round references the previous round's edges and degrees 2-3
+    // times; MATERIALIZED stops the optimizer inlining them (unmarked,
+    // the reference fan-out compounds to 3^rounds base-table scans)
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS node FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY 1),
+         |e$r AS MATERIALIZED (SELECT x.a, x.b FROM e${r - 1} x
+         |  JOIN d$r da ON da.node = x.a AND da.deg >= $k
+         |  JOIN d$r db ON db.node = x.b AND db.deg >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS MATERIALIZED (
+       | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       | FROM lineitem x JOIN lineitem y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |$steps
+       |SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       | SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY 1 HAVING count(*) >= $k""".stripMargin
+  }
+
   private def pageRankOracleSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""r$k AS (SELECT n.node,

@@ -135,6 +135,71 @@ object Analytics {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** k-core decomposition (fixed k): the maximal subgraph in which every
+    * node keeps degree ≥ k, by iterative peeling — drop nodes under
+    * degree k, recompute degrees over the surviving edges, repeat to the
+    * fixpoint (Seidman, "Network structure and minimum degree", Social
+    * Networks 1983; distributed peeling as in Montresor et al., IEEE
+    * TPDS 2013). The k-core is the standard density filter a KG consumer
+    * runs before community/centrality passes: it cuts the long tail of
+    * weakly-attached entities that dominate edge counts but carry no
+    * structure.
+    *
+    * Scale shape: each round is ONE degree partial-agg over the current
+    * edge set plus two semi-joins (AQE-broadcast when the survivor set
+    * collapses); the edge set only shrinks, so total shuffled volume is
+    * bounded by rounds × |E| with a round bound that is small in
+    * practice (peel depth, not diameter). Rounds are fail-loud:
+    * exceeding `maxRounds` throws rather than silently returning an
+    * unconverged subgraph — the oracle unrolls exactly `maxRounds`
+    * rounds, and peeling is monotone, so any converged result matches
+    * the unrolled SQL bit-for-bit.
+    *
+    * Input is treated as undirected: edges are canonicalized to (a < b)
+    * and deduplicated; self-loops are dropped.
+    *
+    * @return (node, core_deg): the k-core's nodes with their degree
+    *         INSIDE the core (all ≥ k by definition).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 10): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(maxRounds >= 1 && maxRounds <= 64,
+      s"maxRounds out of range: $maxRounds")
+    def degs(es: DataFrame): DataFrame =
+      es.select(col("a").as("node"))
+        .union(es.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("core_deg"))
+    var cur = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = cur.count()
+    var round = 0
+    var converged = nEdges == 0L
+    while (!converged) {
+      round += 1
+      if (round > maxRounds)
+        throw new IllegalStateException(
+          s"k-core peeling did not converge in $maxRounds rounds — raise " +
+            "maxRounds (and unroll the oracle to match)")
+      val survivors = degs(cur).filter(col("core_deg") >= k).select("node")
+      val next = cur
+        .join(survivors.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(survivors.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == nEdges
+      cur = next
+      nEdges = n
+    }
+    // at the fixpoint every endpoint has degree >= k; the filter is a
+    // no-op guard for the empty-core case
+    degs(cur).filter(col("core_deg") >= k)
+  }
+
   /** Fixed-point integer PageRank: deterministic across engines.
     *
     * Classic PageRank (Brin & Page, 1998) over doubles is NOT

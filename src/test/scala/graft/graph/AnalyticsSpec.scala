@@ -121,4 +121,57 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.values.forall(r => r >= scale * 15L / 100L &&
       r <= scale * nodes.size))
   }
+
+  /** Driver-side peel (the oracle semantics): returns (node → core deg). */
+  private def peelLocal(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var es = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct
+    var done = false
+    while (!done) {
+      val deg = es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (n, xs) => n -> xs.size }
+      val next = es.filter(e => deg(e._1) >= k && deg(e._2) >= k)
+      done = next.size == es.size
+      es = next
+    }
+    es.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+  }
+
+  test("kCore equals driver-side peeling; handmade cascade peels in " +
+      "multiple rounds") {
+    // triangle {1,2,3} + a pendant chain 3-4-5: the 2-core must peel 5
+    // first (deg 1), THEN 4 (deg drops to 1) — a genuine cascade
+    val chain = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Analytics.kCore(chain, k = 2).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+
+    // seeded graph vs the driver peel, two partitionings
+    val edges = seededEdges(60, 12, seed = 7L)
+    val expect = peelLocal(edges, k = 6)
+    val edf = edges.toDF("src", "dst")
+    val a = Analytics.kCore(edf.repartition(7), k = 6)
+      .as[(Long, Long)].collect().toMap
+    val b = Analytics.kCore(edf.repartition(2), k = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "k-core must not depend on partitioning")
+    assert(a == expect, "distributed peel must equal the driver peel")
+    // every surviving node really has core degree >= k
+    assert(a.values.forall(_ >= 6L))
+  }
+
+  test("kCore: empty core and fail-loud non-convergence guard") {
+    // a path graph has no 2-core
+    val path = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("src", "dst")
+    assert(Analytics.kCore(path, k = 2).isEmpty)
+    // a long path peels one node per round from each end: maxRounds=1
+    // cannot converge for k=2 — must throw, never return silently
+    val long = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Analytics.kCore(long, k = 2, maxRounds = 1).collect()
+    }
+  }
 }
