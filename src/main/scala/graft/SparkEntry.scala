@@ -795,6 +795,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text", k = 64)
     }),
 
+    // corpus provenance similarity matrix: exact pairwise shingle-set
+    // Jaccard between sources — shingle-keyed self-join whose fan-out is
+    // bounded by the (enumerable) source dimension squared
+    "q_source_jaccard" -> ((s, dir) =>
+      dedup.OverlapSketch.sourceJaccard(t(s, dir, "documents"), k = 3)),
+
+    // KMV-sketch arm of the matrix: per-source top-k md5 fingerprints,
+    // pairwise combine over S·k sketch rows — the corpus is read once
+    // regardless of pair count. Deterministic md5 order makes even the
+    // ESTIMATES oracle-exact; accuracy vs the exact arm is witnessed in
+    // OverlapSketchSpec
+    "q_source_jaccard_kmv" -> ((s, dir) =>
+      dedup.OverlapSketch.sourceJaccardKmv(t(s, dir, "documents"), k = 3,
+        sketchK = 128)),
+
     // range (interval) join as an equi-join: clicks attributed to the
     // same user's errors within the preceding 2 h — interval rows
     // replicate over 10-min bins, probes hit one bin, each pair meets
@@ -1162,6 +1177,63 @@ object SparkEntry {
         | (1000000 * CAST(sum(in_a * in_b) AS BIGINT)) // CAST(count(*) AS BIGINT)
         |  AS est_jaccard_ppm
         |FROM m""".stripMargin,
+
+    // same shingle CTE kernel as the document-level jaccard oracles,
+    // grouped by source; integer ppm division keeps the matrix exact
+    "q_source_jaccard" ->
+      """WITH d AS (SELECT source, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |s0 AS (SELECT source, w,
+        |  unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+        | FROM d WHERE len(w) > 0),
+        |sh AS (SELECT DISTINCT source,
+        |  array_to_string(w[i:least(i + 2, len(w))], ' ') AS s FROM s0),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        | FROM sh GROUP BY 1),
+        |ip AS (SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        | FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT ip.src_a, ip.src_b, na.n AS n_a, nb.n AS n_b, ip.n_common,
+        | (1000000 * ip.n_common) // (na.n + nb.n - ip.n_common)
+        |  AS jaccard_ppm
+        |FROM ip JOIN sz na ON na.source = ip.src_a
+        | JOIN sz nb ON nb.source = ip.src_b""".stripMargin,
+
+    // per-source KMV top-128 of md5 shingle fingerprints; the pairwise
+    // union-top-k combine mirrors sourceJaccardKmv row for row
+    "q_source_jaccard_kmv" ->
+      """WITH d AS (SELECT source, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |s0 AS (SELECT source, w,
+        |  unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+        | FROM d WHERE len(w) > 0),
+        |f AS (SELECT DISTINCT source,
+        |  md5(array_to_string(w[i:least(i + 2, len(w))], ' ')) AS fp FROM s0),
+        |sk AS (SELECT source, fp FROM (
+        |  SELECT source, fp,
+        |   row_number() OVER (PARTITION BY source ORDER BY fp) AS rn FROM f)
+        | WHERE rn <= 128),
+        |srcs AS (SELECT DISTINCT source FROM sk),
+        |pr AS (SELECT x.source AS src_a, y.source AS src_b
+        | FROM srcs x JOIN srcs y ON x.source < y.source),
+        |sides AS (
+        | SELECT pr.src_a, pr.src_b, sk.fp, 1 AS in_a, 0 AS in_b
+        |  FROM pr JOIN sk ON sk.source = pr.src_a
+        | UNION ALL
+        | SELECT pr.src_a, pr.src_b, sk.fp, 0, 1
+        |  FROM pr JOIN sk ON sk.source = pr.src_b),
+        |m AS (SELECT src_a, src_b, fp, max(in_a) AS in_a, max(in_b) AS in_b
+        | FROM sides GROUP BY 1, 2, 3),
+        |tk AS (SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+        |  ORDER BY fp) AS rn FROM m)
+        |SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS k_union,
+        | CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+        | (1000000 * CAST(sum(in_a * in_b) AS BIGINT))
+        |  // CAST(count(*) AS BIGINT) AS est_jaccard_ppm
+        |FROM tk WHERE rn <= 128 GROUP BY 1, 2""".stripMargin,
 
     "q_event_range_join" ->
       """SELECT e.event_id AS err_id, c.event_id AS click_id

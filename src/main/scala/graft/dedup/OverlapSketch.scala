@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** KMV (k-minimum-values) corpus-overlap sketch — "how much does corpus
@@ -70,6 +71,94 @@ object OverlapSketch {
       count(lit(1)).as("k_union"),
       sum((col("in_a") * col("in_b")).cast("long")).as("n_common"),
       // ppm = 10^6 * n_common / k_union, exact integer arithmetic
+      expr("(1000000L * sum(CAST(in_a * in_b AS BIGINT))) div count(1)")
+        .as("est_jaccard_ppm"))
+  }
+
+  /** Exact pairwise shingle-set Jaccard between sources — the corpus
+    * provenance similarity matrix (which feeds charge "crawl X is 40 %
+    * snapshot Y" mix decisions). Same word-3-gram shingle kernel as the
+    * document-level near-dup family.
+    *
+    * Scale shape: one DISTINCT (source, shingle) pass, then a self-join
+    * keyed on the shingle whose fan-out per shingle is C(m, 2) over the
+    * m sources sharing it — bounded by the SOURCE dimension squared, an
+    * enumerable dimension (thousands), never the corpus. For source
+    * counts past that, [[sourceJaccardKmv]] is the sketch arm. All
+    * output counts are integers; the ppm ratio is integer division —
+    * the whole matrix is DuckDB-oracled exactly.
+    *
+    * @return (src_a, src_b, n_a, n_b, n_common, jaccard_ppm) for pairs
+    *         sharing at least one shingle, src_a < src_b.
+    */
+  def sourceJaccard(docs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = graft.core.SparkUtil.materializeOnce(
+      docs.select(col("source"),
+        explode(Dedup.shingles(col("text"), k)).as("s"))
+        .distinct())
+    val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val ip = sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    ip.join(sz.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sz.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("(1000000L * n_common) div (n_a + n_b - n_common)")
+          .as("jaccard_ppm"))
+  }
+
+  /** KMV-sketch arm of [[sourceJaccard]]: per-source k-minimum-values
+    * sketches over md5 shingle fingerprints, combined pairwise. The
+    * per-source sketch is a row_number window (top-k of DISTINCT
+    * fingerprints per source — one shuffle keyed by source); the
+    * pairwise combine touches only S·k sketch rows replicated across
+    * S−1 partners: the corpus is read ONCE no matter how many source
+    * pairs are estimated, where the exact arm's shingle self-join
+    * re-shuffles corpus-sized shingle tables.
+    *
+    * Deterministic md5 order ⇒ the sketches and every estimate are pure
+    * functions of the corpus: this arm carries its own exact DuckDB
+    * oracle, and the ~1/sqrt(k) accuracy vs the exact arm is witnessed
+    * in OverlapSketchSpec.
+    *
+    * @return (src_a, src_b, k_union, n_common, est_jaccard_ppm) for ALL
+    *         source pairs (src_a < src_b), sharing shingles or not.
+    */
+  def sourceJaccardKmv(docs: DataFrame, k: Int = 3,
+      sketchK: Int = 128): DataFrame = {
+    require(sketchK > 0 && sketchK <= (1 << 20),
+      s"sketchK out of range: $sketchK")
+    val sk = graft.core.SparkUtil.materializeOnce(
+      docs.select(col("source"),
+        explode(Dedup.shingles(col("text"), k)).as("s"))
+        .select(col("source"), md5(col("s")).as("fp"))
+        .distinct()
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("fp")))
+        .filter(col("rn") <= sketchK)
+        .drop("rn"))
+    val srcs = sk.select("source").distinct()
+    val pairs = srcs.as("x").join(srcs.as("y"),
+      col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+    val sides = pairs
+      .join(sk.select(col("source").as("src_a"), col("fp"),
+        lit(1).as("in_a"), lit(0).as("in_b")), "src_a")
+      .unionByName(pairs
+        .join(sk.select(col("source").as("src_b"), col("fp"),
+          lit(0).as("in_a"), lit(1).as("in_b")), "src_b"))
+    val merged = sides
+      .groupBy("src_a", "src_b", "fp")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("fp")))
+      .filter(col("rn") <= sketchK)
+    merged.groupBy("src_a", "src_b").agg(
+      count(lit(1)).as("k_union"),
+      sum((col("in_a") * col("in_b")).cast("long")).as("n_common"),
       expr("(1000000L * sum(CAST(in_a * in_b AS BIGINT))) div count(1)")
         .as("est_jaccard_ppm"))
   }
