@@ -795,6 +795,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0), "text", k = 64)
     }),
 
+    // BPE trainer stage 0: weighted adjacent code-point pair counts of
+    // the initial char segmentation — the SQL-expressible oracle anchor
+    // for the trainer kernel (code-point split, weighting, adjacency)
+    "q_doc_bpe_pairs" -> ((s, dir) =>
+      graft.text.BpeTrain.initialPairCounts(t(s, dir, "documents"))),
+
+    // the trained merge table: 20 greedy merges over the (word, freq)
+    // dictionary — corpus read once, each merge = one kernel pass + one
+    // pair-key partial agg + TakeOrdered(1). Rows-only (iterative argmax
+    // is not SQL-expressible); BpeTrainSpec proves the sequence equals a
+    // single-threaded reference trainer
+    "q_doc_bpe_merges" -> ((s, dir) =>
+      graft.text.BpeTrain.mergesDf(s,
+        graft.text.BpeTrain.train(t(s, dir, "documents"), nMerges = 20))),
+
     // corpus provenance similarity matrix: exact pairwise shingle-set
     // Jaccard between sources — shingle-keyed self-join whose fan-out is
     // bounded by the (enumerable) source dimension squared
@@ -1177,6 +1192,21 @@ object SparkEntry {
         | (1000000 * CAST(sum(in_a * in_b) AS BIGINT)) // CAST(count(*) AS BIGINT)
         |  AS est_jaccard_ppm
         |FROM m""".stripMargin,
+
+    // code-point pair counts weighted by word frequency: SQL substr /
+    // length are code-point based, matching the trainer's charSyms
+    "q_doc_bpe_pairs" ->
+      """WITH tok AS (SELECT unnest(list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0)) AS word FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+        | FROM tok GROUP BY 1),
+        |p AS (SELECT word, freq,
+        |  unnest(generate_series(1, length(word) - 1)) AS i
+        | FROM wf WHERE length(word) >= 2)
+        |SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs,
+        | CAST(sum(freq) AS BIGINT) AS freq
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // same shingle CTE kernel as the document-level jaccard oracles,
     // grouped by source; integer ppm division keeps the matrix exact
