@@ -165,39 +165,40 @@ object Analytics {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 64,
       s"maxRounds out of range: $maxRounds")
+    // per-round degree table: NODE-sized (checkpointed once per round so
+    // the two semi-joins below never re-run the aggregation) — survivors
+    // are a small build side AQE turns into broadcast semi-joins, so the
+    // edge set is never shuffled for the filter, only for the degree agg
     def degs(es: DataFrame): DataFrame =
       es.select(col("a").as("node"))
         .union(es.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
+        .localCheckpoint(true)
     var cur = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
-    var nEdges = cur.count()
+    var deg = degs(cur)
     var round = 0
-    var converged = nEdges == 0L
-    while (!converged) {
+    while (deg.filter(col("core_deg") < k).limit(1).count() > 0L) {
       round += 1
       if (round > maxRounds)
         throw new IllegalStateException(
           s"k-core peeling did not converge in $maxRounds rounds — raise " +
             "maxRounds (and unroll the oracle to match)")
-      val survivors = degs(cur).filter(col("core_deg") >= k).select("node")
-      val next = cur
+      val survivors = deg.filter(col("core_deg") >= k).select("node")
+      cur = cur
         .join(survivors.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(survivors.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint(true)
-      val n = next.count()
-      converged = n == nEdges
-      cur = next
-      nEdges = n
+      deg = degs(cur)
     }
-    // at the fixpoint every endpoint has degree >= k; the filter is a
-    // no-op guard for the empty-core case
-    degs(cur).filter(col("core_deg") >= k)
+    // the converged round's degree table IS the k-core profile (every
+    // node in it has degree >= k; empty when no core exists)
+    deg
   }
 
   /** Fixed-point integer PageRank: deterministic across engines.

@@ -43,6 +43,7 @@ object Drive {
     if (sys.env.contains("DRIVE_PLANS")) { planCostCheck(); return }
     if (sys.env.contains("DRIVE_1T")) { oneThreadProbe(); return }
     if (sys.env.contains("DRIVE_SAMPLING")) { samplingCheck(); return }
+    if (sys.env.contains("DRIVE_QTIME")) { qtimeCheck(); return }
     if (sys.env.contains("DRIVE_REPPACK")) { repPackCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
     import graft.kg.KgPipeline
@@ -645,6 +646,31 @@ object Drive {
       s"first=${scan.df.collect()(0).getString(0)}")
     val entry = graft.SparkEntry.entry(s).count()
     println(s"entry rows=$entry")
+    s.stop()
+  }
+
+  /** Time a comma-separated DRIVE_QTIME query list at DRIVE_SF (bench
+    * shape: warm pass at sf0.001, then two timed passes, per-query min).
+    */
+  def qtimeCheck(): Unit = {
+    val names = sys.env("DRIVE_QTIME").split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
+    val s = session(32)
+    names.foreach { n =>
+      try graft.SparkEntry.queries(n)(s, "/root/testdata/sf0.001").count()
+      catch { case e: Throwable => println(s"$n warm FAILED: ${e.getMessage}") }
+    }
+    def pass(): Seq[(String, Double)] = names.toSeq.map { n =>
+      val t0 = System.nanoTime()
+      val rows = try graft.SparkEntry.queries(n)(s, sfDir).count()
+        catch { case e: Throwable =>
+          println(s"$n FAILED: ${e.getMessage}"); -1L }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val p1 = pass(); val p2 = pass()
+    p1.zip(p2).foreach { case ((n, a), (_, b)) =>
+      println(f"$n%-28s ${math.min(a, b)}%.2f s  (p1=$a%.2f p2=$b%.2f)")
+    }
     s.stop()
   }
 }
