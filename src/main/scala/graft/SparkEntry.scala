@@ -825,6 +825,17 @@ object SparkEntry {
       dedup.OverlapSketch.sourceJaccardKmv(t(s, dir, "documents"), k = 3,
         sketchK = 128)),
 
+    // at-least-once cleanup: debounce dedup — drop events whose previous
+    // same-(user, type) event is within 1 h; lag-1 window form (one
+    // shuffle, engine-portable), (ts, id) strict total order
+    "q_event_debounce" -> ((s, dir) =>
+      graft.ops.Debounce.debounce(t(s, dir, "events")
+          .select("event_id", "user_id", "event_type", "ts"),
+        keyCols = Seq("user_id", "event_type"), tsCol = "ts",
+        idCol = "event_id", windowMicros = 3600000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("gap_us"), col("keep"))),
+
     // range (interval) join as an equi-join: clicks attributed to the
     // same user's errors within the preceding 2 h — interval rows
     // replicate over 10-min bins, probes hit one bin, each pair meets
@@ -1192,6 +1203,20 @@ object SparkEntry {
         | (1000000 * CAST(sum(in_a * in_b) AS BIGINT)) // CAST(count(*) AS BIGINT)
         |  AS est_jaccard_ppm
         |FROM m""".stripMargin,
+
+    // lag-1 debounce: gap vs the previous RAW same-key event; integer
+    // microsecond arithmetic, (ts, event_id) strict total order
+    "q_event_debounce" ->
+      """WITH x AS (SELECT event_id, user_id, event_type,
+        |  epoch_us(ts) AS us FROM events),
+        |g AS (SELECT event_id, user_id, event_type,
+        |  us - lag(us) OVER (PARTITION BY user_id, event_type
+        |   ORDER BY us, event_id) AS gap_us
+        | FROM x)
+        |SELECT event_id, user_id, event_type,
+        | CAST(gap_us AS BIGINT) AS gap_us,
+        | (gap_us IS NULL OR gap_us > 3600000000) AS keep
+        |FROM g""".stripMargin,
 
     // code-point pair counts weighted by word frequency: SQL substr /
     // length are code-point based, matching the trainer's charSyms
