@@ -827,9 +827,13 @@ object SparkEntry {
 
     // at-least-once cleanup: debounce dedup — drop events whose previous
     // same-(user, type) event is within 1 h; lag-1 window form (one
-    // shuffle, engine-portable), (ts, id) strict total order
+    // shuffle, engine-portable), (ts, id) strict total order. Raw read,
+    // no spread: the window exchange is the FIRST op, so a roundrobin
+    // repartition ahead of it would be a second, wasted shuffle
+    // (PlanAuditSpec pins the single-exchange shape)
     "q_event_debounce" -> ((s, dir) =>
-      graft.ops.Debounce.debounce(t(s, dir, "events")
+      graft.ops.Debounce.debounce(
+        s.read.parquet(s"$dir/events.parquet")
           .select("event_id", "user_id", "event_type", "ts"),
         keyCols = Seq("user_id", "event_type"), tsCol = "ts",
         idCol = "event_id", windowMicros = 3600000000L)

@@ -141,9 +141,14 @@ object OverlapSketch {
         .filter(col("rn") <= sketchK)
         .drop("rn"))
     val srcs = sk.select("source").distinct()
+    // the source-pair cross is the one deliberate non-equi join (S²
+    // rows over an enumerable dimension); it feeds BOTH union branches
+    // below, so materialize its S²-row result once — the final plan
+    // then contains no nested-loop join at all (PlanAuditSpec)
     val pairs = srcs.as("x").join(srcs.as("y"),
       col("x.source") < col("y.source"))
       .select(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .localCheckpoint(true)
     val sides = pairs
       .join(sk.select(col("source").as("src_a"), col("fp"),
         lit(1).as("in_a"), lit(0).as("in_b")), "src_a")

@@ -44,6 +44,13 @@ object Drive {
     if (sys.env.contains("DRIVE_1T")) { oneThreadProbe(); return }
     if (sys.env.contains("DRIVE_SAMPLING")) { samplingCheck(); return }
     if (sys.env.contains("DRIVE_QTIME")) { qtimeCheck(); return }
+    if (sys.env.contains("DRIVE_EXPLAIN")) {
+      val s = session(4)
+      println(graft.SparkEntry.queries(sys.env("DRIVE_EXPLAIN"))(
+        s, sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.001"))
+        .queryExecution.executedPlan.toString)
+      s.stop(); return
+    }
     if (sys.env.contains("DRIVE_REPPACK")) { repPackCheck(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
     import graft.kg.KgPipeline

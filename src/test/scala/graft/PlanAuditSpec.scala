@@ -137,8 +137,12 @@ class PlanAuditSpec extends SparkSpec {
     // anchor) — the cross join hides behind the CC checkpoint boundary,
     // so the plan string can't see it; exempted explicitly for honesty.
     // Its scale path is the same composition over the LSH pair arm.
+    // q_doc_bpe_merges trains before planning: exclude it from a
+    // plan-string sweep (its result is a local merge table — the
+    // per-iteration plans are the pair agg + TakeOrdered shapes the
+    // BpeTrainSpec equality proof executes end-to-end anyway)
     val exempt = Set("q_embed_topk", "q_embed_neardup",
-      "q_embed_neardup_dedup")
+      "q_embed_neardup_dedup", "q_doc_bpe_merges")
     Bench.headline
       .filter(q => q.startsWith("q_doc_") || q.startsWith("q_embed_"))
       .filterNot(exempt)
@@ -148,5 +152,43 @@ class PlanAuditSpec extends SparkSpec {
           !p.contains("BroadcastNestedLoopJoin"),
           s"$q plans a cartesian:\n${p.take(1500)}")
       }
+  }
+
+  test("debounce plans exactly one exchange (the window shuffle)") {
+    assume(has)
+    val p = physical(SparkEntry.queries("q_event_debounce")(spark, dir))
+    val exchanges = "Exchange ".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one window shuffle, got $exchanges:\n" +
+      p.take(1500))
+    assert(p.contains("Window"), "lag must plan as a window, not a join")
+  }
+
+  test("sourceJaccardKmv never rescans the corpus after the sketch " +
+      "materializes; its only non-equi join is the bounded source-pair " +
+      "cross") {
+    assume(has)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = physical(
+      graft.dedup.OverlapSketch.sourceJaccardKmv(docs, sketchK = 32))
+    // everything downstream feeds off the one materialized S·k sketch
+    assert(!p.contains("Scan parquet"),
+      s"pairwise combine must read the checkpointed sketch only:\n" +
+        p.take(1500))
+    // the source×source inequality cross materializes once (S² rows over
+    // an enumerable dimension) — the executed combine plan is pure
+    // equi-join + window
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"pairwise combine must consume the materialized pair table:\n" +
+        p.take(1500))
+  }
+
+  test("lengthOutlierTrim is one window pass over the scan") {
+    assume(has)
+    val p = physical(SparkEntry.queries("q_doc_length_outliers")(spark, dir))
+    assert(p.contains("Window"))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string," +
+      "source:string>"),
+      s"scan must prune to the three consumed columns:\n${p.take(2000)}")
   }
 }
