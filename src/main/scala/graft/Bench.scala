@@ -53,7 +53,8 @@ object Bench {
     "q_doc_compression_ratio",
     "q_doc_length_outliers", "q_doc_cms_heavy",
     "q_source_jaccard", "q_source_jaccard_kmv",
-    "q_doc_bpe_pairs", "q_doc_bpe_merges", "q_event_debounce")
+    "q_doc_bpe_pairs", "q_doc_bpe_merges", "q_event_debounce",
+    "q_doc_bigram_lm")
 
   private def session(threads: Int, codegen: Boolean = true,
       aqe: Boolean = true, partsPerCore: Int = 1): SparkSession = {

@@ -695,6 +695,12 @@ object SparkEntry {
       CorpusStats.keywordSearch(t(s, dir, "documents"),
         query = "spark merge customer", topK = 20)),
 
+    // bigram-LM quality score (the CCNet perplexity-filter shape):
+    // mean scaled integer conditional frequency of the doc's bigrams —
+    // exact per-position arithmetic, one IEEE division at the end
+    "q_doc_bigram_lm" -> ((s, dir) =>
+      CorpusStats.bigramLmScore(t(s, dir, "documents"))),
+
     // per-source length-distribution tail trim: keep iff the doc's
     // (length, doc_id) rank sits inside the [2%, 98%] band of its
     // source — pure integer band test, exact window arm (the 100 TB
@@ -2068,6 +2074,29 @@ object SparkEntry {
         |FROM r CROSS JOIN
         | (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
         |WHERE rn = CAST(ceil(q * n_docs) AS BIGINT)""".stripMargin,
+
+    // cond(w1→w2) = (scale*cb) // cu is exact integer; the mean is one
+    // IEEE division of exact integers — engine-portable, unlike log-probs
+    "q_doc_bigram_lm" ->
+      """WITH d AS (SELECT doc_id, list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0) AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM d WHERE len(w) >= 2)),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+        | FROM bg GROUP BY 1, 2),
+        |uc AS (SELECT unnest(w) AS w1 FROM d),
+        |u AS (SELECT w1, CAST(count(*) AS BIGINT) AS cu FROM uc GROUP BY 1),
+        |s AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum((1000000 * bc.cb) // u.cu) AS BIGINT) AS sum_cond
+        | FROM bg JOIN bc USING (w1, w2) JOIN u USING (w1) GROUP BY 1)
+        |SELECT d.doc_id,
+        | CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        | CAST(coalesce(s.sum_cond, 0) AS BIGINT) AS sum_cond,
+        | CASE WHEN s.n_bigrams IS NULL THEN 0.0
+        |  ELSE CAST(s.sum_cond AS DOUBLE) / s.n_bigrams END AS lm_score
+        |FROM d LEFT JOIN s USING (doc_id)""".stripMargin,
 
     // integer band test (rank−1)·1000 vs permille·(n−1): no float ratio
     // ever forms, so the keep bit is engine-portable; (n, doc_id) is a

@@ -260,6 +260,60 @@ object CorpusStats {
     }
   }
 
+  /** Bigram language-model quality score — the LM-perplexity filter of
+    * CCNet/FineWeb pipelines (Wenzek et al., LREC 2020 filter documents
+    * by LM score), as an engine-portable integer-ratio stand-in: each
+    * document scores the mean scaled conditional frequency of its
+    * bigrams, cond(w1→w2) = ⌊scale · count(w1 w2) / count(w1)⌋ —
+    * fluent text chains high-conditional bigrams, token soup scores
+    * near zero. Every per-position contribution is exact integer
+    * arithmetic and the final mean is one IEEE division of exact
+    * integers, so the operator hash-matches a SQL oracle (a log-prob
+    * sum would differ in the last ulp by summation order).
+    *
+    * Scale shape: ONE bigram explode feeds both the count table and the
+    * scoring join (materialized once — no cross-branch CSE); the
+    * unigram table derives from its own explode. Count tables are
+    * dictionary-sized (Zipf collapses repeats in the map-side partial
+    * agg); the scoring joins are key-dictionary lookups AQE broadcasts
+    * when they fit. Documents under 2 tokens carry n_bigrams = 0 and
+    * score 0.
+    */
+  def bigramLmScore(documentsIn: DataFrame,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"need scale >= 1, got $scale")
+    val documents = graft.core.SparkUtil.spread(documentsIn)
+    val t = toks(col("text"))
+    val bigramArr = transform(sequence(lit(1), size(t) - 1),
+      i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2")))
+    // explicit boundary: Generate is invisible to materializeOnce
+    // pre-analysis (same note as tokenFreqScore)
+    val big = documents
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), explode(bigramArr).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true)
+    val bc = big.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val uc = documents
+      .select(explode(t).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val scored = big
+      .join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .select(col("doc_id"),
+        expr(s"($scale * cb) div cu").as("cond"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("cond").as("sum_cond"))
+    documents.select("doc_id")
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_cond"), lit(0L)).as("sum_cond"),
+        when(col("n_bigrams").isNull, lit(0.0))
+          .otherwise(col("sum_cond").cast("double") / col("n_bigrams"))
+          .as("lm_score"))
+  }
+
   /** Per-source length-outlier trim: keep each document iff its rank in
     * the source's character-length distribution lies inside the
     * [loPermille, hiPermille] band — the distribution-tail filter that

@@ -69,5 +69,16 @@ class KgAnalyticsIntegrationSpec extends SparkSpec {
     val base = 1000000000L * 15L / 100L
     assert(pr.filter(col("rank") < base).isEmpty)
     assert(pr.count() == got.size)
+
+    // k-core over the same table: the 2-core's nodes must all have
+    // total degree >= 2 in the FULL graph (necessary condition), and
+    // peeling a k above the max degree leaves nothing
+    val core2 = Analytics.kCore(edges, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    core2.keys.foreach { n =>
+      assert(want(n) >= 2L, s"2-core node $n has full-graph degree ${want(n)}")
+    }
+    val maxDeg = want.values.max
+    assert(Analytics.kCore(edges, k = (maxDeg + 1L).toInt).isEmpty)
   }
 }

@@ -164,6 +164,20 @@ class CorpusStatsSpec extends SparkSpec {
       s"global top-k must be a heap merge, not a sort:\n${plan.take(1200)}")
   }
 
+  test("bigramLmScore: hand-computed integer conditionals; short docs " +
+      "score zero") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // unigrams: a=3, b=3, x=1; bigrams: (a,b)=3, (b,a)=1
+    // cond(a→b) = 10^6*3 div 3 = 1000000; cond(b→a) = 10^6 div 3 = 333333
+    val out = CorpusStats.bigramLmScore(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 3L, 2333333L, 2333333.0 / 3.0),
+      (2L, 1L, 1000000L, 1000000.0),
+      (3L, 0L, 0L, 0.0)))
+  }
+
   test("lengthOutlierTrim: integer band on (length, doc_id) ranks; " +
       "nulls rank as length 0") {
     // src a: lengths 1..10 → with lo=200‰, hi=800‰ keep ranks where
