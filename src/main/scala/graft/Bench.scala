@@ -54,7 +54,9 @@ object Bench {
     "q_doc_length_outliers", "q_doc_cms_heavy",
     "q_source_jaccard", "q_source_jaccard_kmv",
     "q_doc_bpe_pairs", "q_doc_bpe_merges", "q_event_debounce",
-    "q_doc_bigram_lm")
+    "q_doc_bigram_lm",
+    "q_kg_link_predict", "q_kg_labelprop",
+    "q_embed_semdedup", "q_embed_semdedup_dedup", "q_doc_bpe_encode")
 
   private def session(threads: Int, codegen: Boolean = true,
       aqe: Boolean = true, partsPerCore: Int = 1): SparkSession = {

@@ -401,6 +401,26 @@ object SparkEntry {
           col("n_members"), col("keep"))
     }),
 
+    // SemDeDup (k-means cells + within-cell cosine): the second scale
+    // arm beside SRP-LSH — candidate volume n²/nlist ≈ n^1.5 at the
+    // default nlist ≈ √n, within-cell equi-join, never a cartesian.
+    // Rows-only; witnessed as a subset of the exact arm with
+    // bit-identical cosines + recall reported (TestdataWitnessSpec)
+    "q_embed_semdedup" -> ((s, dir) =>
+      Similarity.semDedupPairs(t(s, dir, "embeddings"), threshold = 0.4)),
+
+    // the composed dedup decision over the SemDeDup pair arm — same
+    // pairs→CC→keep flow as the exact and LSH arms above, so all three
+    // pair generators drive one decision operator
+    "q_embed_semdedup_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Similarity.semDedupPairs(emb, threshold = 0.4)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.nearDupDedup(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster"),
+          col("n_members"), col("keep"))
+    }),
+
     // ---- near-dup detection (LSH family; rows-only checks) ----
     "q_doc_minhash_neardup" -> ((s, dir) =>
       Dedup.minhashNearDups(t(s, dir, "documents"), threshold = 0.5)),
@@ -783,6 +803,32 @@ object SparkEntry {
       graph.Analytics.kCore(pairs, k = 80, maxRounds = 10)
     }),
 
+    // link prediction (common neighbors / integer-permille Jaccard) over
+    // a deterministic 20 %-of-parts slice of the co-occurrence graph:
+    // the wedge fan-out is Σ deg(pivot)², so the query restricts the
+    // vertex set rather than capping pivots (the cap arm exists for
+    // crawl scale — maxPivotDeg — but the oracle checks the exact form).
+    // Integer-exact → full DuckDB hash oracle
+    "q_kg_link_predict" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graph.Analytics.linkPredict(pairs, minCommon = 2L)
+    }),
+
+    // deterministic synchronous label propagation (fixed 4 rounds,
+    // min-label ties) over the entity graph — community structure the
+    // canonicalizer's CC can't see (CC merges everything connected; LPA
+    // finds the dense cores). Fixed-round + integer/min-string updates →
+    // unrolled-CTE DuckDB hash oracle
+    "q_kg_labelprop" -> ((s, dir) =>
+      graph.Analytics.labelPropagation(kgAnalyticsEdges(s, dir),
+        rounds = 4)),
+
     // compression-ratio quality band-pass (deflate ‰ of raw size;
     // kernel map pass, no shuffle). Deterministic but not
     // SQL-expressible → rows-only, witnessed in CompressionRatioSpec
@@ -815,6 +861,18 @@ object SparkEntry {
     "q_doc_bpe_merges" -> ((s, dir) =>
       graft.text.BpeTrain.mergesDf(s,
         graft.text.BpeTrain.train(t(s, dir, "documents"), nMerges = 20))),
+
+    // BPE ENCODE with the trained merges: per-doc word and BPE token
+    // counts — the inference side of the tokenizer (train once, segment
+    // the whole corpus in one shuffle-free kernel pass). Rows-only
+    // (iterative merge replay is not SQL-expressible); BpeTrainSpec
+    // proves segment-consistency with the trainer's final dictionary
+    "q_doc_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.BpeTrain.train(docs, nMerges = 20)
+      graft.text.BpeTrain.segment(docs, merges)
+        .select("doc_id", "n_words", "n_bpe_tokens")
+    }),
 
     // corpus provenance similarity matrix: exact pairwise shingle-set
     // Jaccard between sources — shingle-keyed self-join whose fan-out is
@@ -921,6 +979,7 @@ object SparkEntry {
     ("q_doc_curation_scale" -> oracleSqlBase("q_doc_curation")) +
     ("q_kg_pagerank" -> pageRankOracleSql(10)) +
     ("q_kg_kcore" -> kCoreOracleSql(80, 10)) +
+    ("q_kg_labelprop" -> labelPropOracleSql(4)) +
     // the analytics-family oracles share ONE edge-CTE definition
     // (kgEdgesSql) so the SQL can never drift from kgAnalyticsEdges
     ("q_kg_degree" ->
@@ -1010,7 +1069,53 @@ object SparkEntry {
        |SELECT node, rank FROM r$iters""".stripMargin
   }
 
+  /** Label-propagation oracle: `rounds` unrolled synchronous rounds of
+    * [[graft.graph.Analytics.labelPropagation]]'s deterministic update
+    * (most-frequent neighbor label, min label on ties — here a window
+    * rank over the per-(node, label) counts; the Spark side uses a
+    * min(struct) aggregate, but the PICK is identical). Fixed rounds on
+    * both sides make the comparison exact with no convergence test.
+    */
+  private def labelPropOracleSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""lp$r AS MATERIALIZED (SELECT node, label FROM (
+         | SELECT n.node AS node, l.label AS label,
+         |  row_number() OVER (PARTITION BY n.node
+         |   ORDER BY count(*) DESC, l.label ASC) AS rn
+         | FROM nbr n JOIN lp${r - 1} l ON l.node = n.nbr
+         | GROUP BY n.node, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $kgEdgesSql,
+       |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       | FROM e WHERE src <> dst),
+       |nbr AS MATERIALIZED (SELECT a AS node, b AS nbr FROM und
+       | UNION ALL SELECT b, a FROM und),
+       |lp0 AS (SELECT DISTINCT node, node AS label FROM nbr),
+       |$steps
+       |SELECT node, label FROM lp$rounds""".stripMargin
+  }
+
   private val oracleSqlBase: Map[String, String] = Map(
+    "q_kg_link_predict" ->
+      """WITH pairs AS MATERIALIZED (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | WHERE x.l_partkey % 5 = 0 AND y.l_partkey % 5 = 0),
+        |nbr AS MATERIALIZED (SELECT a AS node, b AS nbr FROM pairs
+        | UNION ALL SELECT b, a FROM pairs),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        | FROM nbr GROUP BY 1),
+        |cn AS (SELECT x.nbr AS a, y.nbr AS b, CAST(count(*) AS BIGINT) AS cn
+        | FROM nbr x JOIN nbr y ON x.node = y.node AND x.nbr < y.nbr
+        | GROUP BY 1, 2),
+        |cand AS (SELECT c.a, c.b, c.cn FROM cn c
+        | LEFT JOIN pairs p ON p.a = c.a AND p.b = c.b WHERE p.a IS NULL)
+        |SELECT c.a, c.b, c.cn, da.deg + db.deg - c.cn AS uni,
+        | (c.cn * 1000) // (da.deg + db.deg - c.cn) AS jaccard_pm
+        |FROM cand c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
+        |WHERE c.cn >= 2""".stripMargin,
+
     "q_collapse_agg" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, max(l_quantity) AS max_qty,
         | count(*) AS n FROM lineitem GROUP BY 1, 2, 3""".stripMargin,
@@ -1992,8 +2097,10 @@ object SparkEntry {
         |  FROM documents))
         |SELECT doc_id, score, n_tokens, cum_tokens
         |FROM (SELECT doc_id, score, n_tokens,
-        |  SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
-        |   ROWS UNBOUNDED PRECEDING) AS cum_tokens FROM q)
+        |  -- CAST: DuckDB's SUM(BIGINT) is HUGEINT, which pandas lands
+        |  -- as float64 — the repr-compare would then see 104.0 vs 104
+        |  CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+        |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM q)
         |WHERE cum_tokens <= 8000""".stripMargin,
 
     // same marker counts + CASE as q_doc_lang, aggregated; avg is one

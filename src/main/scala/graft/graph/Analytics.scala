@@ -201,6 +201,125 @@ object Analytics {
     deg
   }
 
+  /** Link prediction by common-neighbor count / Jaccard coefficient
+    * (Liben-Nowell & Kleinberg, "The link-prediction problem for social
+    * networks", CIKM 2003): for every NON-adjacent pair (a, b) sharing
+    * at least `minCommon` neighbors, emit the common-neighbor count and
+    * an integer-permille Jaccard score cn·1000 div |N(a) ∪ N(b)|. The
+    * KG consumer runs this over the materialized edge table to propose
+    * missing `skos:closeMatch` candidates for curation.
+    *
+    * Integer-exact contract: cn, uni and the permille score are all
+    * longs with floor division, so the result hash-matches a single-node
+    * SQL oracle bit-for-bit at any partitioning.
+    *
+    * Scale shape: common neighbors are wedge counts, and every wedge
+    * must be enumerated from its pivot (the shared neighbor z), so the
+    * fan-out is Σ_z deg(z)² — the degree-orientation trick that fixes
+    * triangles does not apply because the PAIR, not the pivot, is the
+    * output key. The standard mitigation at crawl scale is a pivot
+    * degree cap: a hub shared by ten million entities contributes no
+    * curation signal (its Jaccard is ~0 for every pair) but dominates
+    * the wedge volume. `maxPivotDeg > 0` drops pivots above the cap —
+    * a DOCUMENTED under-count (scores become lower bounds); 0 keeps the
+    * exact semantics the oracle checks.
+    *
+    * Input is treated as undirected: canonicalized to (a < b),
+    * deduplicated, self-loops dropped.
+    *
+    * @return (a, b, cn, uni, jaccard_pm) with a < b.
+    */
+  def linkPredict(edges: DataFrame, minCommon: Long = 2L,
+      minJaccardPm: Long = 0L, maxPivotDeg: Int = 0): DataFrame = {
+    require(minCommon >= 1L, s"need minCommon >= 1, got $minCommon")
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val nbr = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+    val deg = nbr.groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // wedges pivot at the shared neighbor: pairs of the pivot's
+    // neighbors, each unordered pair enumerated once (x.nbr < y.nbr)
+    val pivots =
+      if (maxPivotDeg > 0)
+        nbr.join(deg.filter(col("deg") <= maxPivotDeg).select("node"),
+          Seq("node"), "left_semi")
+      else nbr
+    val wedges = pivots.as("x").join(pivots.as("y"),
+        col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("a"), col("y.nbr").as("b"))
+    val cn = wedges.groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    // link PREDICTION: only pairs that are not already edges
+    cn.join(canon, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"), col("cn"),
+        (col("da") + col("db") - col("cn")).as("uni"),
+        expr("(cn * 1000) div (da + db - cn)").as("jaccard_pm"))
+      .filter(col("cn") >= minCommon && col("jaccard_pm") >= minJaccardPm)
+  }
+
+  /** Synchronous label propagation (Raghavan, Albert & Kumara, Phys.
+    * Rev. E 2007) with a DETERMINISTIC update rule, run for a FIXED
+    * round count: every node starts labeled with its own id; each round
+    * every node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the minimum label. Classic LPA breaks
+    * ties randomly and updates asynchronously in a shuffled node order —
+    * neither survives a distributed re-run. Fixing both (min-label ties,
+    * synchronous rounds) trades some convergence speed for a result that
+    * is bit-identical across partitionings AND engines, so a fixed-round
+    * unrolled SQL oracle hash-matches exactly; the fixed round count
+    * also sidesteps sync-LPA's known 2-cycle oscillation on bipartite
+    * structures (there is no convergence test to fool).
+    *
+    * Scale shape: each round is one equi-join (adjacency ⋈ labels) and
+    * one (node, label) partial-agg shuffle — the per-round frequency
+    * table is bounded by the adjacency size, never node × label. The
+    * label lineage is a pure chain, so all rounds compile into ONE Spark
+    * job (the PageRank lesson: checkpointing each round costs scheduler
+    * latency, not saves it); only the multi-consumer adjacency is
+    * checkpointed once. The deterministic pick is one `min(struct)`
+    * aggregate — negated count then label — not a window (a window would
+    * floor a hot node's rows on one task; the agg is partial-aggregated
+    * and AQE-splittable).
+    *
+    * Input is treated as undirected (canonicalized, deduplicated,
+    * self-loops dropped). Isolated nodes do not appear in an edge list
+    * and so are absent from the result, matching the oracle.
+    *
+    * @return (node, label) after exactly `rounds` synchronous rounds.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds out of range: $rounds")
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val nbr = canon.select(col("a").as("node"), col("b").as("nbr"))
+      .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+      .localCheckpoint(true)
+    var labels = nbr.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) {
+      labels = nbr
+        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        // most-frequent label, min label on ties: min over the struct
+        // (-count, label) — field-by-field ordering gives (max c, min l)
+        .groupBy(col("node"))
+        .agg(min(struct((col("c") * -1L).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("node"), col("m.l").as("label"))
+    }
+    labels
+  }
+
   /** Fixed-point integer PageRank: deterministic across engines.
     *
     * Classic PageRank (Brin & Page, 1998) over doubles is NOT

@@ -163,19 +163,7 @@ object Similarity {
   private[graft] def ivfCandidates(corpus: DataFrame, queries: DataFrame,
       nlist: Int, nprobe: Int, refineIters: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
-    val n = corpus.count()
-    val lists =
-      if (nlist > 0) nlist
-      else math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
-    val seeds: Array[Array[Float]] = corpus
-      .select(col("vec_id"), col("embedding"))
-      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
-      .limit(lists)
-      .collect()
-      .map(r => r.getSeq[Float](1).toArray)
-    val centroids =
-      if (refineIters > 0) refineCentroids(corpus, seeds, refineIters)
-      else seeds
+    val centroids = coarseCentroids(corpus, nlist, refineIters)
     val bc = spark.sparkContext.broadcast(centroids)
     val cell1 = udf((v: Seq[Float]) =>
       TextHash.nearestCentroids(v, bc.value, 1).head)
@@ -190,6 +178,72 @@ object Similarity {
     c.join(q, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .drop("cell")
+  }
+
+  /** The IVF coarse quantizer's centroid table: `nlist` hash-sampled
+    * seed rows (stable under any partitioning/order — the corpus rows
+    * with the smallest id hash), optionally sharpened by spherical Lloyd
+    * rounds. Driver-sized by construction (nlist ≈ √n default).
+    */
+  private[graft] def coarseCentroids(corpus: DataFrame, nlist: Int,
+      refineIters: Int): Array[Array[Float]] = {
+    val n = corpus.count()
+    val lists =
+      if (nlist > 0) nlist
+      else math.max(1, math.round(math.sqrt(n.toDouble)).toInt)
+    val seeds: Array[Array[Float]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(lists)
+      .collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    if (refineIters > 0) refineCentroids(corpus, seeds, refineIters)
+    else seeds
+  }
+
+  /** SemDeDup semantic near-duplicate pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embeddings with a
+    * k-means coarse quantizer, then compare pairs ONLY within a
+    * cluster. The published method's observation is that semantic
+    * duplicates land in the same k-means cell, so candidate volume
+    * drops from n² to Σ_c |cell_c|² ≈ n²/nlist — with the default
+    * nlist ≈ √n, O(n^1.5) dot products instead of O(n²), and the
+    * within-cell self-join is an equi-join on cell id (shuffle both
+    * sides by cell), never a cartesian.
+    *
+    * The quantizer is the SAME deterministic coarse quantizer as the
+    * IVF index (hash-sampled seeds + spherical Lloyd rounds), and
+    * cosines run through the same native expression as the exact arm —
+    * bit-identical scores, so the pair set is witnessed as a subset of
+    * `cosineNearDups(exact = true)` with recall reported (the standard
+    * SemDeDup tradeoff: a cross-cell duplicate pair is missed; raise
+    * `refineIters` or lower `nlist` to trade recall against volume).
+    *
+    * @return (vec_a, vec_b, cos) unordered pairs, vec_a < vec_b.
+    */
+  def semDedupPairs(embeddings: DataFrame, threshold: Double,
+      nlist: Int = -1, refineIters: Int = 2): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cents = coarseCentroids(embeddings, nlist, refineIters)
+    val bc = spark.sparkContext.broadcast(cents)
+    val cell1 = udf((v: Seq[Float]) =>
+      TextHash.nearestCentroids(v, bc.value, 1).head)
+    // assignment is one kernel pass consumed by BOTH self-join sides —
+    // materialize once so the scan + argmin don't run twice
+    val c = graft.core.SparkUtil.spread(embeddings)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("cell", cell1(col("embedding")))
+      .localCheckpoint(true)
+    val a = c.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("va"))
+    val b = c.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
   }
 
   /** Spherical Lloyd refinement of the IVF coarse quantizer (the standard

@@ -52,6 +52,7 @@ object Drive {
       s.stop(); return
     }
     if (sys.env.contains("DRIVE_REPPACK")) { repPackCheck(); return }
+    if (sys.env.contains("DRIVE_S5NEW")) { session5NewOps(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
     import graft.kg.KgPipeline
     import graft.ops.{MergeReconcile, TripleEmit}
@@ -678,6 +679,53 @@ object Drive {
     p1.zip(p2).foreach { case ((n, a), (_, b)) =>
       println(f"$n%-28s ${math.min(a, b)}%.2f s  (p1=$a%.2f p2=$b%.2f)")
     }
+    s.stop()
+  }
+
+  /** Session-5 additions driven end-to-end through the public API:
+    * link prediction, label propagation, SemDeDup pairs + composed
+    * decision, BPE encode. DRIVE_SF picks the testdata scale.
+    */
+  private def session5NewOps(): Unit = {
+    val s = session(8)
+    val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_partkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val co = li.as("x").join(li.as("y"),
+      col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+    val lp = graft.graph.Analytics.linkPredict(co, minCommon = 2L)
+    println(s"linkPredict rows=${lp.count()}")
+    lp.orderBy(col("jaccard_pm").desc, col("a"), col("b")).show(5, false)
+    val capped = graft.graph.Analytics.linkPredict(co, minCommon = 2L,
+      maxPivotDeg = 20)
+    println(s"linkPredict capped(20) rows=${capped.count()}")
+    val sup = s.read.parquet(s"$dir/supplier.parquet").select(
+      concat(lit("s"), col("s_suppkey")).as("src"),
+      concat(lit("n"), col("s_nationkey")).as("dst"))
+    val nat = s.read.parquet(s"$dir/nation.parquet").select(
+      concat(lit("n"), col("n_nationkey")).as("src"),
+      concat(lit("r"), col("n_regionkey")).as("dst"))
+    val lpa = graft.graph.Analytics.labelPropagation(
+      sup.unionByName(nat), rounds = 4)
+    println(s"labelPropagation rows=${lpa.count()} " +
+      s"communities=${lpa.select("label").distinct().count()}")
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+    val sem = graft.sim.Similarity.semDedupPairs(emb, threshold = 0.4)
+    println(s"semDedupPairs rows=${sem.count()}")
+    sem.orderBy(col("cos").desc).show(3, false)
+    val dec = graft.dedup.Dedup.nearDupDedup(
+      emb.select(col("vec_id").as("doc_id")),
+      sem.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    println(s"semDedup decision keep=${dec.filter(col("keep")).count()}" +
+      s"/${dec.count()}")
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val merges = graft.text.BpeTrain.train(docs, nMerges = 10)
+    val seg = graft.text.BpeTrain.segment(docs, merges)
+    seg.agg(sum("n_words"), sum("n_bpe_tokens")).show(false)
     s.stop()
   }
 }

@@ -116,13 +116,19 @@ class PlanAuditSpec extends SparkSpec {
   test("KG analytics family: every plan stays equi-join (no cartesian)") {
     assume(has)
     Seq("q_kg_degree", "q_kg_bfs", "q_kg_pagerank", "q_kg_triangles",
-      "q_kg_cc_incremental")
+      "q_kg_cc_incremental", "q_kg_link_predict", "q_kg_labelprop")
       .foreach { q =>
         val p = physical(SparkEntry.queries(q)(spark, dir))
         assert(!p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin"),
           s"$q plans a cartesian:\n${p.take(1500)}")
       }
+    // the deterministic-pick stages stay agg-shaped, never a window: a
+    // window would floor a hot node's rows on one task (the reconcile
+    // lesson), while min(struct) partial-aggregates and AQE-splits
+    assert(!logical(SparkEntry.queries("q_kg_labelprop")(spark, dir))
+      .contains("Window"),
+      "labelPropagation's label pick must stay min(struct), not a window")
   }
 
   test("no cartesian in any doc/embed headline plan except the documented " +

@@ -193,6 +193,60 @@ class TestdataWitnessSpec extends SparkSpec {
       s"planted-duplicate drops missed: ${mustDrop -- dropLsh}")
   }
 
+  test("q_embed_semdedup @ sf0.01: subset of the exact arm with " +
+      "bit-identical cosines; nlist=1 degenerates to the exact arm") {
+    assume(has("embeddings"))
+    val sem = SparkEntry.queries("q_embed_semdedup")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val exact = SparkEntry.queries("q_embed_neardup")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    // within-cell pairs are true pairs with the same bit-exact cosine
+    assert(sem.subsetOf(exact), s"false positives: ${sem -- exact}")
+    assert(sem.nonEmpty)
+    val recall = sem.size.toDouble / exact.size
+    info(f"semdedup pair recall vs exact arm: $recall%.3f " +
+      s"(${sem.size}/${exact.size})")
+    // the method's published failure mode is a pair straddling two
+    // k-means cells; on this corpus the √n quantizer must still keep a
+    // usable fraction
+    assert(recall >= 0.15, s"pair recall $recall below floor")
+    // a single-cell quantizer compares everything within one cell —
+    // the pair set must EQUAL the exact all-pairs arm bit-for-bit
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val one = graft.sim.Similarity.semDedupPairs(emb, threshold = 0.4,
+        nlist = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(one == exact, "nlist=1 must degenerate to the exact arm")
+  }
+
+  test("q_embed_semdedup_dedup @ sf0.01: composed SemDeDup decision " +
+      "refines the exact arm's clusters; every exact keep survives") {
+    assume(has("embeddings"))
+    val sem = SparkEntry.queries("q_embed_semdedup_dedup")(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    val exact = SparkEntry.queries("q_embed_neardup_dedup")(spark, sfDir)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(sem.length == exact.length &&
+      sem.map(_._1).toSet == exact.map(_._1).toSet)
+    val exCluster = exact.map(d => d._1 -> d._2).toMap
+    // SemDeDup pairs ⊆ exact pairs → its clusters refine exact clusters
+    sem.groupBy(_._2).values.foreach { members =>
+      assert(members.map(m => exCluster(m._1)).distinct.length == 1,
+        s"SemDeDup cluster ${members.head._2} straddles exact clusters")
+    }
+    val keepSem = sem.filter(_._4).map(_._1).toSet
+    val keepExact = exact.filter(_._4).map(_._1).toSet
+    assert(keepExact.subsetOf(keepSem),
+      s"exact keeps dropped by SemDeDup arm: ${keepExact -- keepSem}")
+    val dropSem = sem.filterNot(_._4).map(_._1).toSet
+    val dropExact = exact.filterNot(_._4).map(_._1).toSet
+    assert(dropSem.subsetOf(dropExact))
+    val recall = dropSem.size.toDouble / dropExact.size
+    info(f"drop-decision recall vs exact arm: $recall%.3f " +
+      s"(${dropSem.size}/${dropExact.size})")
+    assert(recall >= 0.15, s"drop recall $recall below floor")
+  }
+
   test("q_embed_ann_ivf @ sf0.01: cosines bit-exact vs kernel; full top-10 " +
       "per query; majority recall vs exact top-10") {
     assume(has("embeddings"))

@@ -174,4 +174,113 @@ class AnalyticsSpec extends SparkSpec {
       Analytics.kCore(long, k = 2, maxRounds = 1).collect()
     }
   }
+
+  /** Driver-side common-neighbor truth: (pair → cn) over the canonical
+    * undirected simple graph, non-edges only.
+    */
+  private def cnLocal(edges: Seq[(Long, Long)])
+      : (Map[(Long, Long), Long], Map[Long, Long]) = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
+    val nodes = adj.keys.toSeq.sorted
+    val cn = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      a = nodes(i); b = nodes(j)
+      if !adj(a).contains(b)
+      c = (adj(a) & adj(b)).size.toLong
+      if c > 0
+    } yield (a, b) -> c).toMap
+    (cn, deg)
+  }
+
+  test("linkPredict equals driver brute force: counts, union, permille " +
+      "Jaccard; existing edges excluded; pivot cap only under-counts") {
+    val edges = seededEdges(40, 14, seed = 11L)
+    val (cn, deg) = cnLocal(edges)
+    val expect = cn.collect { case ((a, b), c) if c >= 2L =>
+      val uni = deg(a) + deg(b) - c
+      (a, b, c, uni, c * 1000L / uni)
+    }.toSet
+    val edf = edges.toDF("src", "dst")
+    val got = Analytics.linkPredict(edf, minCommon = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expect, "exact arm must equal the driver truth")
+    // partitioning invariance
+    val got2 = Analytics.linkPredict(edf.repartition(7), minCommon = 2L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got2 == got)
+    // no predicted pair is an existing edge
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    assert(got.forall { case (a, b, _, _, _) => !canon.contains((a, b)) })
+    // minJaccardPm filters by the integer score
+    val strong = Analytics.linkPredict(edf, minCommon = 2L, minJaccardPm = 300L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(strong == got.filter(_._5 >= 300L))
+    // the hub-cap arm: every capped pair exists in the exact arm with a
+    // cn no larger (dropping pivots can only remove wedges) and
+    // unchanged degrees
+    val capped = Analytics.linkPredict(edf, minCommon = 2L,
+        maxPivotDeg = deg.values.max.toInt - 1)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val exactByPair = got.map(t => (t._1, t._2) -> t).toMap ++
+      cn.collect { case ((a, b), c) if c < 2L =>
+        (a, b) -> (a, b, c, deg(a) + deg(b) - c, 0L) }
+    capped.foreach { case (a, b, c, uni, _) =>
+      val e = exactByPair((a, b))
+      assert(c <= e._3, s"cap raised cn for ($a,$b)")
+      assert(uni == deg(a) + deg(b) - c)
+    }
+    // a cap above the max degree changes nothing
+    val uncapped = Analytics.linkPredict(edf, minCommon = 2L,
+        maxPivotDeg = deg.values.max.toInt)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(uncapped == got)
+  }
+
+  /** Driver-side synchronous LPA with the same deterministic rule:
+    * most-frequent neighbor label, min label on ties.
+    */
+  private def lpaLocal(edges: Seq[(Long, Long)], rounds: Int)
+      : Map[Long, Long] = {
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    var labels = adj.keys.map(n => n -> n).toMap
+    (1 to rounds).foreach { _ =>
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).map { case (l, xs) => l -> xs.size }
+        val maxC = counts.values.max
+        n -> counts.collect { case (l, c) if c == maxC => l }.min
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation equals driver sync LPA; finds the two planted " +
+      "communities; partitioning-invariant") {
+    // two dense blobs joined by one bridge edge: LPA must label each
+    // blob internally (the bridge alone cannot flip a majority)
+    val blobA = for (a <- 0L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val blobB = for (a <- 10L to 15L; b <- (a + 1) to 15L) yield (a, b)
+    val planted = (blobA ++ blobB :+ (5L, 10L)).toDF("src", "dst")
+    val labels = Analytics.labelPropagation(planted, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 5L).map(labels).toSet.size == 1, "blob A one community")
+    assert((10L to 15L).map(labels).toSet.size == 1, "blob B one community")
+    assert(labels(0L) != labels(15L), "bridge must not merge the blobs")
+    // seeded graph vs the driver rule, two partitionings
+    val edges = seededEdges(50, 10, seed = 23L)
+    val expect = lpaLocal(edges, rounds = 4)
+    val edf = edges.toDF("src", "dst")
+    val a = Analytics.labelPropagation(edf.repartition(5), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val b = Analytics.labelPropagation(edf.repartition(2), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "LPA must not depend on partitioning")
+    assert(a == expect, "distributed sync LPA must equal the driver rule")
+  }
 }
