@@ -765,6 +765,15 @@ object SparkEntry {
       KgPipeline.buildGraph(KgPipeline.extractMappings(s, cfg))
     }),
 
+    // transcript ingest gate: per-conversation well-formedness audit
+    // (contiguous turn_idx, monotone ts, alternating known roles,
+    // non-blank text) over the synthesized north-rule input table.
+    // Rows-only (transcripts are generated, not testdata parquet);
+    // TranscriptQaSpec plants each violation class and asserts the flags
+    "q_kg_transcript_qa" -> ((s, dir) =>
+      kg.TranscriptQa.audit(kg.Synthetic.transcripts(s, nConv = 400L,
+        turnsPerConv = 6, nConcepts = 200L))),
+
     // ---- KG edge-table analytics (graph/Analytics.scala): the read-side
     // ops consumers run over the materialized graph. All four are
     // integer-exact / fixed-point — deterministic across partitionings
@@ -788,6 +797,20 @@ object SparkEntry {
           col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
       graph.Analytics.triangleCounts(pairs)
+    }),
+
+    // local clustering coefficient (integer permille) over the same
+    // co-occurrence graph as q_kg_triangles — the density feature a KG
+    // consumer joins onto entities. All-long arithmetic → hash oracle
+    "q_kg_clustering" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      graph.Analytics.clusteringCoefficient(pairs)
     }),
 
     // k-core density filter over the same co-occurrence graph: iterative
@@ -903,6 +926,23 @@ object SparkEntry {
         idCol = "event_id", windowMicros = 3600000000L)
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("gap_us"), col("keep"))),
+
+    // windowed conversion funnel signup→click→purchase with an 8 h
+    // per-hop window: stage i = one type-pruned scan left-semi-joined
+    // (user-keyed, range residual) to the qualifying stage-(i-1)
+    // events. Timestamp arithmetic only → full DuckDB hash oracle
+    "q_event_funnel" -> ((s, dir) =>
+      graft.ops.Funnel.funnelCounts(t(s, dir, "events"),
+        steps = Seq("signup", "click", "purchase"),
+        maxGapMicros = 28800000000L)),
+
+    // retention cohort matrix over 6 h epoch buckets: first-event
+    // cohort per user (one user-keyed min agg) joined back to the
+    // activity stream on the same key, then one (cohort, offset)
+    // distinct-count agg. Pure long arithmetic → full DuckDB hash oracle
+    "q_event_retention" -> ((s, dir) =>
+      graft.ops.Retention.cohorts(t(s, dir, "events"),
+        periodSeconds = 21600L)),
 
     // range (interval) join as an equi-join: clicks attributed to the
     // same user's errors within the preceding 2 h — interval rows
@@ -1106,15 +1146,67 @@ object SparkEntry {
         | UNION ALL SELECT b, a FROM pairs),
         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
         | FROM nbr GROUP BY 1),
-        |cn AS (SELECT x.nbr AS a, y.nbr AS b, CAST(count(*) AS BIGINT) AS cn
+        |cn AS (SELECT x.nbr AS a, y.nbr AS b, CAST(count(*) AS BIGINT) AS cn,
+        |  -- CAST: DuckDB SUM(BIGINT) is HUGEINT → float64 in pandas
+        |  CAST(sum(1000 // d.deg) AS BIGINT) AS ra_pm
         | FROM nbr x JOIN nbr y ON x.node = y.node AND x.nbr < y.nbr
+        | JOIN deg d ON d.node = x.node
         | GROUP BY 1, 2),
-        |cand AS (SELECT c.a, c.b, c.cn FROM cn c
+        |cand AS (SELECT c.a, c.b, c.cn, c.ra_pm FROM cn c
         | LEFT JOIN pairs p ON p.a = c.a AND p.b = c.b WHERE p.a IS NULL)
         |SELECT c.a, c.b, c.cn, da.deg + db.deg - c.cn AS uni,
-        | (c.cn * 1000) // (da.deg + db.deg - c.cn) AS jaccard_pm
+        | (c.cn * 1000) // (da.deg + db.deg - c.cn) AS jaccard_pm, c.ra_pm
         |FROM cand c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b
         |WHERE c.cn >= 2""".stripMargin,
+
+    "q_kg_clustering" ->
+      """WITH pairs AS MATERIALIZED (
+        | SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        | FROM lineitem x JOIN lineitem y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        | WHERE x.l_partkey % 5 = 0 AND y.l_partkey % 5 = 0),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        | SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+        | GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        | FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b
+        |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tcnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        | FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT d.node, d.deg,
+        | CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+        | (2000 * COALESCE(t.n_triangles, 0)) // (d.deg * (d.deg - 1))
+        |  AS cc_pm
+        |FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+        |WHERE d.deg >= 2""".stripMargin,
+
+    "q_event_retention" ->
+      """WITH f AS (SELECT user_id AS u,
+        |  min((epoch_ms(ts) // 1000) // 21600) AS cohort_period
+        | FROM events GROUP BY 1)
+        |SELECT f.cohort_period,
+        | ((epoch_ms(e.ts) // 1000) // 21600) - f.cohort_period
+        |  AS period_offset,
+        | count(DISTINCT e.user_id) AS users
+        |FROM events e JOIN f ON e.user_id = f.u
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, ts AS t FROM events
+        |  WHERE event_type = 'signup'),
+        |s2 AS (SELECT e.user_id AS u, e.ts AS t FROM events e
+        |  WHERE e.event_type = 'click' AND EXISTS (
+        |   SELECT 1 FROM s1 WHERE s1.u = e.user_id AND s1.t < e.ts
+        |    AND e.ts <= s1.t + INTERVAL 8 HOUR)),
+        |s3 AS (SELECT e.user_id AS u, e.ts AS t FROM events e
+        |  WHERE e.event_type = 'purchase' AND EXISTS (
+        |   SELECT 1 FROM s2 WHERE s2.u = e.user_id AND s2.t < e.ts
+        |    AND e.ts <= s2.t + INTERVAL 8 HOUR))
+        |SELECT 1 AS step, 'signup' AS event_type,
+        | count(DISTINCT u) AS users FROM s1
+        |UNION ALL SELECT 2, 'click', count(DISTINCT u) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(DISTINCT u) FROM s3""".stripMargin,
 
     "q_collapse_agg" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, max(l_quantity) AS max_qty,

@@ -135,6 +135,42 @@ object Analytics {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient in integer permille (Watts & Strogatz,
+    * Nature 1998): cc_pm(v) = 2000·tri(v) div (deg(v)·(deg(v)−1)) over
+    * the canonical undirected simple graph, for every node of degree ≥ 2
+    * (the coefficient is undefined below that — such nodes are omitted,
+    * matching the oracle). The permille floor keeps the whole result in
+    * long arithmetic, so it hash-matches a SQL oracle bit-for-bit; the
+    * IEEE-free contract every analytics-family op here carries.
+    *
+    * Scale shape: triangle counting via [[triangleCounts]] (degree-
+    * oriented wedges — Σ min-degree fan-out, the standard bound), plus
+    * one degree partial-agg and a node-keyed left join; nothing beyond
+    * the triangle pass itself. Zero-triangle nodes coalesce to 0 rather
+    * than dropping out.
+    *
+    * @return (node, deg, n_triangles, cc_pm) for nodes with deg ≥ 2.
+    */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(
+      canon.select(col("a").as("src"), col("b").as("dst")))
+    deg.filter(col("deg") >= 2L)
+      .join(tri, Seq("node"), "left_outer")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("(2000 * coalesce(n_triangles, 0)) div (deg * (deg - 1))")
+          .as("cc_pm"))
+  }
+
   /** k-core decomposition (fixed k): the maximal subgraph in which every
     * node keeps degree ≥ k, by iterative peeling — drop nodes under
     * degree k, recompute degrees over the surviving edges, repeat to the
@@ -204,13 +240,18 @@ object Analytics {
   /** Link prediction by common-neighbor count / Jaccard coefficient
     * (Liben-Nowell & Kleinberg, "The link-prediction problem for social
     * networks", CIKM 2003): for every NON-adjacent pair (a, b) sharing
-    * at least `minCommon` neighbors, emit the common-neighbor count and
-    * an integer-permille Jaccard score cn·1000 div |N(a) ∪ N(b)|. The
-    * KG consumer runs this over the materialized edge table to propose
-    * missing `skos:closeMatch` candidates for curation.
+    * at least `minCommon` neighbors, emit the common-neighbor count, an
+    * integer-permille Jaccard score cn·1000 div |N(a) ∪ N(b)|, and the
+    * resource-allocation index (Zhou, Lü & Zhang, Eur. Phys. J. B 2009)
+    * in the same permille floor form, Σ_z 1000 div deg(z) over the
+    * shared neighbors z — RA down-weights hub pivots, which on real
+    * graphs predicts better than the raw count. The KG consumer runs
+    * this over the materialized edge table to propose missing
+    * `skos:closeMatch` candidates for curation.
     *
-    * Integer-exact contract: cn, uni and the permille score are all
-    * longs with floor division, so the result hash-matches a single-node
+    * Integer-exact contract: cn, uni and both permille scores are all
+    * longs with floor division (RA sums per-pivot floors, so the sum of
+    * longs is itself exact), so the result hash-matches a single-node
     * SQL oracle bit-for-bit at any partitioning.
     *
     * Scale shape: common neighbors are wedge counts, and every wedge
@@ -227,7 +268,9 @@ object Analytics {
     * Input is treated as undirected: canonicalized to (a < b),
     * deduplicated, self-loops dropped.
     *
-    * @return (a, b, cn, uni, jaccard_pm) with a < b.
+    * @return (a, b, cn, uni, jaccard_pm, ra_pm) with a < b. Under a
+    *         pivot cap, ra_pm still divides by the pivot's TRUE degree
+    *         (the cap drops hub pivots, it does not re-shape the graph).
     */
   def linkPredict(edges: DataFrame, minCommon: Long = 2L,
       minJaccardPm: Long = 0L, maxPivotDeg: Int = 0): DataFrame = {
@@ -249,17 +292,25 @@ object Analytics {
         nbr.join(deg.filter(col("deg") <= maxPivotDeg).select("node"),
           Seq("node"), "left_semi")
       else nbr
-    val wedges = pivots.as("x").join(pivots.as("y"),
+    // each pivot row carries its RA contribution 1000 div deg(pivot) —
+    // the deg join is keyed on node, the same key the wedge self-join
+    // shuffles on, so it rides the existing exchange
+    val pv = pivots.join(deg, Seq("node"))
+      .withColumn("rc", expr("1000 div deg")).drop("deg")
+    val wedges = pv.as("x").join(pv.as("y"),
         col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
-      .select(col("x.nbr").as("a"), col("y.nbr").as("b"))
-    val cn = wedges.groupBy("a", "b").agg(count(lit(1)).as("cn"))
+      .select(col("x.nbr").as("a"), col("y.nbr").as("b"),
+        col("x.rc").as("rc"))
+    val cn = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum("rc").as("ra_pm"))
     // link PREDICTION: only pairs that are not already edges
     cn.join(canon, Seq("a", "b"), "left_anti")
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
       .select(col("a"), col("b"), col("cn"),
         (col("da") + col("db") - col("cn")).as("uni"),
-        expr("(cn * 1000) div (da + db - cn)").as("jaccard_pm"))
+        expr("(cn * 1000) div (da + db - cn)").as("jaccard_pm"),
+        col("ra_pm"))
       .filter(col("cn") >= minCommon && col("jaccard_pm") >= minJaccardPm)
   }
 

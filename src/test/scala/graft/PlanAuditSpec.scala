@@ -131,6 +131,24 @@ class PlanAuditSpec extends SparkSpec {
       "labelPropagation's label pick must stay min(struct), not a window")
   }
 
+  test("windowed funnel: every stage is a hash semi-join on the user key " +
+      "(range predicate rides as residual, never a nested loop), and the " +
+      "step filter reaches the scan") {
+    assume(has)
+    // audit the unmaterialized lineage: the production form checkpoints
+    // each stage eagerly, which hides the stage joins from the final plan
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val p = physical(graft.ops.Funnel.funnelCounts(ev,
+      Seq("signup", "click", "purchase"), 28800000000L,
+      "user_id", "event_type", "ts", materialize = false))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"funnel stage joins must extract the user equi-key:\n${p.take(1500)}")
+    assert(p.contains("LeftSemi"), "stages must be semi-joins")
+    assert(p.contains("EqualTo(event_type,signup)"),
+      "the per-stage type filter must reach PushedFilters")
+  }
+
   test("no cartesian in any doc/embed headline plan except the documented " +
       "exact baselines") {
     assume(has)

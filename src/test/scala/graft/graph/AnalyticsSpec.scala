@@ -179,7 +179,7 @@ class AnalyticsSpec extends SparkSpec {
     * undirected simple graph, non-edges only.
     */
   private def cnLocal(edges: Seq[(Long, Long)])
-      : (Map[(Long, Long), Long], Map[Long, Long]) = {
+      : (Map[(Long, Long), (Long, Long)], Map[Long, Long]) = {
     val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
       .filter { case (a, b) => a != b }.distinct
     val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
@@ -190,9 +190,11 @@ class AnalyticsSpec extends SparkSpec {
       i <- nodes.indices; j <- (i + 1) until nodes.size
       a = nodes(i); b = nodes(j)
       if !adj(a).contains(b)
-      c = (adj(a) & adj(b)).size.toLong
-      if c > 0
-    } yield (a, b) -> c).toMap
+      shared = adj(a) & adj(b)
+      if shared.nonEmpty
+      // RA index: per-pivot permille floor, summed (matches the op)
+      ra = shared.toSeq.map(z => 1000L / deg(z)).sum
+    } yield (a, b) -> (shared.size.toLong, ra)).toMap
     (cn, deg)
   }
 
@@ -200,44 +202,76 @@ class AnalyticsSpec extends SparkSpec {
       "Jaccard; existing edges excluded; pivot cap only under-counts") {
     val edges = seededEdges(40, 14, seed = 11L)
     val (cn, deg) = cnLocal(edges)
-    val expect = cn.collect { case ((a, b), c) if c >= 2L =>
+    val expect = cn.collect { case ((a, b), (c, ra)) if c >= 2L =>
       val uni = deg(a) + deg(b) - c
-      (a, b, c, uni, c * 1000L / uni)
+      (a, b, c, uni, c * 1000L / uni, ra)
     }.toSet
     val edf = edges.toDF("src", "dst")
     val got = Analytics.linkPredict(edf, minCommon = 2L)
-      .as[(Long, Long, Long, Long, Long)].collect().toSet
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(got == expect, "exact arm must equal the driver truth")
     // partitioning invariance
     val got2 = Analytics.linkPredict(edf.repartition(7), minCommon = 2L)
-      .as[(Long, Long, Long, Long, Long)].collect().toSet
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(got2 == got)
     // no predicted pair is an existing edge
     val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
-    assert(got.forall { case (a, b, _, _, _) => !canon.contains((a, b)) })
+    assert(got.forall { case (a, b, _, _, _, _) => !canon.contains((a, b)) })
     // minJaccardPm filters by the integer score
     val strong = Analytics.linkPredict(edf, minCommon = 2L, minJaccardPm = 300L)
-      .as[(Long, Long, Long, Long, Long)].collect().toSet
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(strong == got.filter(_._5 >= 300L))
-    // the hub-cap arm: every capped pair exists in the exact arm with a
-    // cn no larger (dropping pivots can only remove wedges) and
-    // unchanged degrees
+    // the hub-cap arm: every capped pair exists in the exact arm with
+    // cn and ra_pm no larger (dropping pivots can only remove wedges,
+    // and every RA term is non-negative) and unchanged degrees
     val capped = Analytics.linkPredict(edf, minCommon = 2L,
         maxPivotDeg = deg.values.max.toInt - 1)
-      .as[(Long, Long, Long, Long, Long)].collect()
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
     val exactByPair = got.map(t => (t._1, t._2) -> t).toMap ++
-      cn.collect { case ((a, b), c) if c < 2L =>
-        (a, b) -> (a, b, c, deg(a) + deg(b) - c, 0L) }
-    capped.foreach { case (a, b, c, uni, _) =>
+      cn.collect { case ((a, b), (c, ra)) if c < 2L =>
+        (a, b) -> (a, b, c, deg(a) + deg(b) - c, 0L, ra) }
+    capped.foreach { case (a, b, c, uni, _, ra) =>
       val e = exactByPair((a, b))
       assert(c <= e._3, s"cap raised cn for ($a,$b)")
+      assert(ra <= e._6, s"cap raised ra_pm for ($a,$b)")
       assert(uni == deg(a) + deg(b) - c)
     }
     // a cap above the max degree changes nothing
     val uncapped = Analytics.linkPredict(edf, minCommon = 2L,
         maxPivotDeg = deg.values.max.toInt)
-      .as[(Long, Long, Long, Long, Long)].collect().toSet
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(uncapped == got)
+  }
+
+  test("clusteringCoefficient: triangle is 1000 permille everywhere, " +
+      "star hub is 0, path interiors 0; equals brute force on a seeded " +
+      "graph") {
+    // K3: every node cc = 2000*1 / (2*1) = 1000
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst")
+    val g1 = Analytics.clusteringCoefficient(k3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(g1 == Set((1L, 2L, 1L, 1000L), (2L, 2L, 1L, 1000L),
+      (3L, 2L, 1L, 1000L)))
+    // star: hub deg 3, no triangles, cc 0; leaves deg 1 → omitted
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val g2 = Analytics.clusteringCoefficient(star)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(g2 == Set((0L, 3L, 0L, 0L)))
+    // seeded graph vs driver brute force
+    val edges = seededEdges(30, 20, seed = 31L)
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val expect = adj.collect { case (v, nb) if nb.size >= 2 =>
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      val d = nb.size.toLong
+      (v, d, tri.toLong, 2000L * tri / (d * (d - 1)))
+    }.toSet
+    val got = Analytics.clusteringCoefficient(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
   }
 
   /** Driver-side synchronous LPA with the same deterministic rule:
