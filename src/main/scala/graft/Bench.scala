@@ -58,7 +58,8 @@ object Bench {
     "q_kg_link_predict", "q_kg_labelprop",
     "q_embed_semdedup", "q_embed_semdedup_dedup", "q_doc_bpe_encode",
     "q_event_funnel", "q_kg_transcript_qa",
-    "q_event_retention", "q_kg_clustering")
+    "q_event_retention", "q_kg_clustering",
+    "q_event_transitions", "q_doc_collocations")
 
   private def session(threads: Int, codegen: Boolean = true,
       aqe: Boolean = true, partsPerCore: Int = 1): SparkSession = {

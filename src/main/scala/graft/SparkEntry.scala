@@ -944,6 +944,20 @@ object SparkEntry {
       graft.ops.Retention.cohorts(t(s, dir, "events"),
         periodSeconds = 21600L)),
 
+    // first-order Markov transition matrix over per-user event paths —
+    // ONE user-keyed window exchange over the input; the (prev, next)
+    // matrix that follows is bounded by |event types|², so every
+    // aggregate past the lag is driver-tiny. Pure long permille → oracle
+    "q_event_transitions" -> ((s, dir) =>
+      graft.ops.Transitions.matrix(t(s, dir, "events"))),
+
+    // term co-occurrence lift edges (PMI's integer-exact argument) over
+    // the top-25 vocabulary: doc-frequency agg → broadcast vocab filter
+    // → map-side pair expansion bounded by C(25,2) output rows
+    "q_doc_collocations" -> ((s, dir) =>
+      graft.text.Collocations.mine(t(s, dir, "documents"),
+        topK = 25, minPairCount = 5)),
+
     // range (interval) join as an equi-join: clicks attributed to the
     // same user's errors within the preceding 2 h — interval rows
     // replicate over 10-min bins, probes hit one bin, each pair meets
@@ -1191,6 +1205,43 @@ object SparkEntry {
         | count(DISTINCT e.user_id) AS users
         |FROM events e JOIN f ON e.user_id = f.u
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS prev_type
+        | FROM events),
+        |c AS (SELECT prev_type, event_type AS next_type,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        | CAST((n * 1000) // sum(n) OVER (PARTITION BY prev_type)
+        |  AS BIGINT) AS p_pm
+        |FROM c""".stripMargin,
+
+    "q_doc_collocations" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, term FROM (
+        |  SELECT doc_id, unnest(list_filter(
+        |   string_split_regex(lower(trim(text)), '\s+'),
+        |   x -> length(x) > 0)) AS term FROM documents)),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        | FROM tok GROUP BY 1),
+        |vocab AS (SELECT term, df FROM dfreq
+        | ORDER BY df DESC, term ASC LIMIT 25),
+        |kept AS (SELECT t.doc_id, t.term FROM tok t JOIN vocab USING (term)),
+        |pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+        |  CAST(count(*) AS BIGINT) AS n_ab
+        | FROM kept a JOIN kept b
+        |  ON a.doc_id = b.doc_id AND a.term < b.term
+        | GROUP BY 1, 2 HAVING count(*) >= 5),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT p.term_a, p.term_b, p.n_ab, va.df AS df_a, vb.df AS df_b,
+        | CAST((CAST(p.n_ab AS HUGEINT) * 1000 * nd.n_docs) //
+        |      (CAST(va.df AS HUGEINT) * vb.df) AS BIGINT) AS lift_pm
+        |FROM pairs p
+        |JOIN vocab va ON va.term = p.term_a
+        |JOIN vocab vb ON vb.term = p.term_b
+        |CROSS JOIN nd""".stripMargin,
 
     "q_event_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, ts AS t FROM events

@@ -16,7 +16,7 @@ object CorpusStats {
   private def norm(c: Column) =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  private def toks(c: Column) =
+  private[text] def toks(c: Column) =
     filter(split(norm(c), " "), t => length(t) > 0)
 
   /** (doc_id, term, tf) term-frequency table, the shared substrate of
