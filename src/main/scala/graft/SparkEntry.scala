@@ -789,6 +789,14 @@ object SparkEntry {
     "q_kg_pagerank" -> ((s, dir) =>
       graph.Analytics.pageRankFixedPoint(kgAnalyticsEdges(s, dir),
         iters = 10)),
+    // one round of GNN-style neighborhood aggregation, with the node's
+    // total degree as the propagated feature — all-long arithmetic, two
+    // key-partitioned passes over the edge table, full hash oracle
+    "q_kg_neighbor_agg" -> ((s, dir) => {
+      val edges = kgAnalyticsEdges(s, dir)
+      val feats = graph.Analytics.degrees(edges).select(col("node"), col("deg"))
+      graph.Analytics.neighborAggregate(edges, feats, featureCol = "deg")
+    }),
     "q_kg_triangles" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
       // part co-occurrence graph: parts appearing in the same order
@@ -951,6 +959,13 @@ object SparkEntry {
     "q_event_transitions" -> ((s, dir) =>
       graft.ops.Transitions.matrix(t(s, dir, "events"))),
 
+    // last-touch attribution: conversions credited to the same user's
+    // most recent strictly-earlier touch within 4 h — ONE user-keyed
+    // window with a running max over preceding touches (the as-of
+    // carry-forward shape), never a touches×conversions range join
+    "q_event_attribution" -> ((s, dir) =>
+      graft.ops.Attribution.lastTouch(t(s, dir, "events"))),
+
     // term co-occurrence lift edges (PMI's integer-exact argument) over
     // the top-25 vocabulary: doc-frequency agg → broadcast vocab filter
     // → map-side pair expansion bounded by C(25,2) output rows
@@ -1044,6 +1059,22 @@ object SparkEntry {
          | COALESCE(o.out_deg, 0) AS out_deg, COALESCE(i.in_deg, 0) AS in_deg,
          | COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS deg
          |FROM o FULL OUTER JOIN i ON o.node = i.node""".stripMargin) +
+    ("q_kg_neighbor_agg" ->
+      s"""WITH $kgEdgesSql,
+         |o AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY 1),
+         |i AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY 1),
+         |feat AS (SELECT COALESCE(o.node, i.node) AS node,
+         |  COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS deg
+         | FROM o FULL OUTER JOIN i ON o.node = i.node),
+         |und AS (SELECT src AS frm, dst AS node FROM e
+         | UNION ALL SELECT dst, src FROM e),
+         |msgs AS (SELECT u.node, CAST(count(*) AS BIGINT) AS n_nbrs,
+         |  CAST(sum(f.deg) AS BIGINT) AS nbr_sum,
+         |  min(f.deg) AS nbr_min, max(f.deg) AS nbr_max
+         | FROM und u JOIN feat f ON f.node = u.frm GROUP BY u.node)
+         |SELECT m.node, f.deg AS feature, m.n_nbrs, m.nbr_sum,
+         | m.nbr_min, m.nbr_max
+         |FROM msgs m JOIN feat f ON f.node = m.node""".stripMargin) +
     ("q_kg_bfs" ->
       s"""WITH RECURSIVE $kgEdgesSql,
          |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
@@ -1218,6 +1249,34 @@ object SparkEntry {
         | CAST((n * 1000) // sum(n) OVER (PARTITION BY prev_type)
         |  AS BIGINT) AS p_pm
         |FROM c""".stripMargin,
+
+    // last-touch attribution: row_number-over-(us DESC, event_id DESC)
+    // picks the same touch as Spark's running max(struct(us, event_id,
+    // type)) — event_id is unique, so the orders agree; t.us < c.us
+    // mirrors the frame's strictly-before (equal-ts touches sort after
+    // the conversion and fall outside ROWS ... AND 1 PRECEDING); the
+    // most recent touch has the smallest gap, so "last touch, then
+    // window-check" == "last touch within window" (the join predicate)
+    "q_event_attribution" ->
+      """WITH conv AS (SELECT event_id AS conv_id, user_id,
+        |  epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+        |touch AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+        | FROM events WHERE event_type IN ('click', 'view')),
+        |hit AS (SELECT c.conv_id, c.user_id, t.event_id AS touch_id,
+        |  t.event_type AS touch_type,
+        |  (c.us - t.us) // 1000000 AS gap_s,
+        |  row_number() OVER (PARTITION BY c.conv_id
+        |   ORDER BY t.us DESC, t.event_id DESC) AS rn
+        | FROM conv c JOIN touch t ON t.user_id = c.user_id
+        |  AND t.us < c.us AND c.us - t.us <= 14400000000)
+        |SELECT conv_id, user_id, touch_id, touch_type, gap_s
+        |FROM hit WHERE rn = 1
+        |UNION ALL
+        |SELECT c.conv_id, c.user_id, CAST(-1 AS BIGINT), 'direct',
+        | CAST(-1 AS BIGINT)
+        |FROM conv c WHERE NOT EXISTS (SELECT 1 FROM touch t
+        | WHERE t.user_id = c.user_id AND t.us < c.us
+        |  AND c.us - t.us <= 14400000000)""".stripMargin,
 
     "q_doc_collocations" ->
       """WITH tok AS (SELECT DISTINCT doc_id, term FROM (

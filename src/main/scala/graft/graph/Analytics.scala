@@ -401,6 +401,46 @@ object Analytics {
     *
     * @return (node, rank) with rank an integer multiple of 1/scale.
     */
+  /** One round of neighborhood feature aggregation — GNN-style message
+    * passing over an integer node feature: for every node, the count,
+    * sum, min and max of the feature over its UNDIRECTED neighbors
+    * (each directed edge delivers a message both ways; a node pair with
+    * edges in both directions delivers twice, multigraph semantics —
+    * stated so the oracle can't drift). The canonical use is feature
+    * propagation over a materialized KG: rank/degree/quality of a
+    * node's neighborhood as model features, one exchange per round.
+    *
+    * All-long arithmetic (count/sum/min/max of longs), so the output
+    * hash-matches a SQL oracle for any integer feature — including the
+    * fixed-point PageRank ranks from [[pageRankFixedPoint]].
+    *
+    * Scale shape: messages = edges ⋈ features on the sender key (both
+    * directions via one union), then ONE partial-agg exchange on the
+    * receiver; the final attach of the node's own feature rides the
+    * same node key. No iteration state, no windows — at 100 TB this is
+    * two key-partitioned passes over the edge table.
+    *
+    * @param features (node, `featureCol`) — one row per node
+    * @return (node, feature, n_nbrs, nbr_sum, nbr_min, nbr_max); nodes
+    *         absent from `edges` don't appear (no neighborhood to
+    *         aggregate), matching the edge-derived node universe of the
+    *         other analytics ops.
+    */
+  def neighborAggregate(edges: DataFrame, features: DataFrame,
+      featureCol: String = "rank"): DataFrame = {
+    val und = edges.select(col("src").as("from"), col("dst").as("node"))
+      .unionByName(edges.select(col("dst").as("from"), col("src").as("node")))
+    val msgs = und
+      .join(features.select(col("node").as("from"),
+        col(featureCol).as("f")), Seq("from"))
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_nbrs"), sum("f").as("nbr_sum"),
+        min("f").as("nbr_min"), max("f").as("nbr_max"))
+    msgs.join(features.select(col("node"),
+      col(featureCol).as("feature")), Seq("node"))
+      .select("node", "feature", "n_nbrs", "nbr_sum", "nbr_min", "nbr_max")
+  }
+
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 10,
       scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")

@@ -187,6 +187,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), "lag must plan as a window, not a join")
   }
 
+  test("attribution is one window pass: one exchange, no join") {
+    assume(has)
+    val p = physical(SparkEntry.queries("q_event_attribution")(spark, dir))
+    // the t() helper's small-file spread adds a RoundRobin exchange at
+    // test scale; the operator itself owns exactly one (user-key hash)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected the single user-key shuffle, got " +
+      s"$exchanges:\n" + p.take(1500))
+    assert(p.contains("Window"), "running max must plan as a window")
+    assert(!p.contains("Join"),
+      "a touches×conversions join defeats the carry-forward design")
+    // the type filter must reach the parquet scan
+    assert(p.contains("PushedFilters") && p.contains("In(event_type"),
+      "event-type pruning must push to the scan")
+  }
+
+  test("neighborAggregate plans equi-joins only, with partial aggregation " +
+      "before the receiver exchange") {
+    assume(has)
+    val p = physical(SparkEntry.queries("q_kg_neighbor_agg")(spark, dir))
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      "message passing must stay equi-join")
+    // map-side combine: a partial_count must appear (messages combine
+    // before the receiver-key exchange)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      "expected partial aggregation on the message pass:\n" + p.take(1500))
+  }
+
   test("sourceJaccardKmv never rescans the corpus after the sketch " +
       "materializes; its only non-equi join is the bounded source-pair " +
       "cross") {

@@ -37,6 +37,54 @@ class AnalyticsSpec extends SparkSpec {
       (4L, 1L, 0L, 1L)))
   }
 
+  test("neighborAggregate equals driver message passing, multigraph " +
+      "semantics included") {
+    // (1,2) twice-connected via both directions: 1<->2 delivers twice.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    // feature: node id × 10 (node 5 has a feature but no edges)
+    val feats = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 50L))
+      .toDF("node", "rank")
+    val got = Analytics.neighborAggregate(edges, feats)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    // undirected messages: each directed edge delivers both ways
+    val msgs = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) } // (from, to)
+    val f = Map(1L -> 10L, 2L -> 20L, 3L -> 30L, 4L -> 40L, 5L -> 50L)
+    val expect = msgs.groupBy(_._2).map { case (node, ms) =>
+      val xs = ms.map(m => f(m._1))
+      (node, f(node), xs.length.toLong, xs.sum, xs.min, xs.max)
+    }.toSet
+    assert(got == expect)
+    // node 1's neighborhood counts node 2 TWICE (edges both directions)
+    // plus node 3 once — 3 messages, nbr_sum 20+20+30
+    assert(got.find(_._1 == 1L).get._3 == 3L)
+    assert(got.find(_._1 == 1L).get._4 == 70L)
+    // node 5 (no edges) emits no row
+    assert(!got.exists(_._1 == 5L))
+    // partitioning invariance
+    val got2 = Analytics.neighborAggregate(
+      edges.repartition(7), feats.repartition(3))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got2 == got)
+  }
+
+  test("neighborAggregate over pageRank ranks on a seeded graph equals " +
+      "brute force") {
+    val es = seededEdges(30, 25, 0xfeedL)
+    val edges = es.toDF("src", "dst")
+    val ranks = Analytics.pageRankFixedPoint(edges, iters = 3)
+    val got = Analytics.neighborAggregate(edges, ranks)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val f = ranks.as[(Long, Long)].collect().toMap
+    val msgs = es.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val expect = msgs.groupBy(_._2).map { case (node, ms) =>
+      val xs = ms.map(m => f(m._1))
+      (node, f(node), xs.length.toLong, xs.sum, xs.min, xs.max)
+    }.toSet
+    assert(got == expect)
+  }
+
   test("bfsDistances equals driver BFS, and converges early when the " +
       "frontier empties before maxHops") {
     val edges = seededEdges(60, 4, seed = 7L)
