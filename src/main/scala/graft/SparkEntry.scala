@@ -789,6 +789,17 @@ object SparkEntry {
     "q_kg_pagerank" -> ((s, dir) =>
       graph.Analytics.pageRankFixedPoint(kgAnalyticsEdges(s, dir),
         iters = 10)),
+    // personalized PageRank seeded on the supplier nodes: teleport mass
+    // only on seeds, same integer fixed-point recurrence as q_kg_pagerank;
+    // supplier mass propagates sup -> nation -> region, so the ranks are
+    // genuinely seed-conditioned (regions have no out-edges — seeding
+    // there would leave every other node at 0)
+    "q_kg_ppr" -> ((s, dir) => {
+      val seeds = t(s, dir, "supplier")
+        .select(concat(lit("s"), col("s_suppkey")).as("node"))
+      graph.Analytics.personalizedPageRank(kgAnalyticsEdges(s, dir), seeds,
+        iters = 10)
+    }),
     // one round of GNN-style neighborhood aggregation, with the node's
     // total degree as the propagated feature — all-long arithmetic, two
     // key-partitioned passes over the edge table, full hash oracle
@@ -1047,6 +1058,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = oracleSqlBase +
     ("q_doc_curation_scale" -> oracleSqlBase("q_doc_curation")) +
     ("q_kg_pagerank" -> pageRankOracleSql(10)) +
+    ("q_kg_ppr" -> pprOracleSql(10)) +
     ("q_kg_kcore" -> kCoreOracleSql(80, 10)) +
     ("q_kg_labelprop" -> labelPropOracleSql(4)) +
     // the analytics-family oracles share ONE edge-CTE definition
@@ -1150,6 +1162,34 @@ object SparkEntry {
        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
        |od AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank FROM nodes),
+       |$steps
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: the [[pageRankOracleSql]] recurrence
+    * with teleport mass restricted to the seed set (supplier nodes —
+    * mirrors the q_kg_ppr seeds exactly): r0 = scale on seeds / 0
+    * elsewhere; each round adds the 15% base ONLY on seeds.
+    */
+  private def pprOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT n.node,
+         | CAST(CASE WHEN n.is_seed THEN 150000000 ELSE 0 END
+         |  + (COALESCE(m.in_mass, 0) * 85) // 100 AS BIGINT) AS rank
+         | FROM ns n LEFT JOIN (
+         |  SELECT e.dst AS node, CAST(SUM(r.rank // d.out_deg) AS BIGINT) AS in_mass
+         |  FROM e JOIN r${k - 1} r ON r.node = e.src
+         |  JOIN od d ON d.node = e.src GROUP BY 1) m ON m.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $kgEdgesSql,
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src AS node, count(*) AS out_deg FROM e GROUP BY 1),
+       |sd AS (SELECT DISTINCT concat('s', s_suppkey) AS node FROM supplier),
+       |ns AS (SELECT n.node, (s.node IS NOT NULL) AS is_seed
+       | FROM nodes n LEFT JOIN sd s ON s.node = n.node),
+       |r0 AS (SELECT node,
+       | CAST(CASE WHEN is_seed THEN 1000000000 ELSE 0 END AS BIGINT) AS rank
+       | FROM ns),
        |$steps
        |SELECT node, rank FROM r$iters""".stripMargin
   }

@@ -441,6 +441,64 @@ object Analytics {
       .select("node", "feature", "n_nbrs", "nbr_sum", "nbr_min", "nbr_max")
   }
 
+  /** Personalized PageRank in the same integer fixed-point arithmetic as
+    * [[pageRankFixedPoint]]: teleport mass lands ONLY on the seed set,
+    * so ranks measure importance *relative to the seeds* — the standard
+    * KG read-side op for entity disambiguation and seed-conditioned
+    * neighborhood ranking (rank candidates by their PPR from the
+    * query's anchor entities). Recurrence per round, all-long:
+    *
+    *   rank(v) = [v ∈ seeds]·(scale·15 div 100)
+    *           + (Σ_{u→v} rank(u) div out_deg(u)) · 85 div 100
+    *
+    * with rank₀ = scale on seeds, 0 elsewhere. No per-seed
+    * normalization (ranks are a relative order; dividing by |seeds|
+    * would cost integer precision for nothing). When seeds = all
+    * nodes this is EXACTLY [[pageRankFixedPoint]] — the property the
+    * spec pins.
+    *
+    * Scale shape: identical to the global ranks — the seed flag joins
+    * the node frame ONCE (checkpointed, reused every round), each round
+    * is one edge⋈rank equi-join + one partial-agg exchange on the
+    * receiver, all rounds compile into one job. Determinism: integer
+    * div floors identically everywhere, so the output hash-matches an
+    * unrolled SQL oracle.
+    *
+    * @param seeds (node) — rows whose node ids get teleport mass; ids
+    *              absent from the edge universe are ignored.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int = 10, scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+    val nodeSeed = nodes
+      .join(seeds.select(col("node")).distinct()
+        .withColumn("__is_seed", lit(true)), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("__is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val edgesWithDeg = edges.join(outDeg, Seq("src"))
+      .localCheckpoint(true)
+    val base = scale * 15L / 100L
+    var ranks = nodeSeed.select(col("node"), col("is_seed"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edgesWithDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"),
+          expr("rank div out_deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      ranks = nodeSeed.join(contrib, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(coalesce(in_mass, 0L) * 85) div 100")).as("rank"))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 10,
       scale: Long = 1000000000L): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")

@@ -37,6 +37,7 @@ object Attribution {
       touchTypes: Seq[String] = Seq("click", "view"),
       windowSeconds: Long = 14400L): DataFrame = {
     require(windowSeconds > 0L, s"need windowSeconds > 0, got $windowSeconds")
+    require(touchTypes.nonEmpty, "need at least one touch type")
     require(!touchTypes.contains(conversionType),
       s"conversion type '$conversionType' cannot also be a touch type")
     val relevant = events

@@ -116,7 +116,8 @@ class PlanAuditSpec extends SparkSpec {
   test("KG analytics family: every plan stays equi-join (no cartesian)") {
     assume(has)
     Seq("q_kg_degree", "q_kg_bfs", "q_kg_pagerank", "q_kg_triangles",
-      "q_kg_cc_incremental", "q_kg_link_predict", "q_kg_labelprop")
+      "q_kg_cc_incremental", "q_kg_link_predict", "q_kg_labelprop",
+      "q_kg_ppr", "q_kg_neighbor_agg")
       .foreach { q =>
         val p = physical(SparkEntry.queries(q)(spark, dir))
         assert(!p.contains("CartesianProduct") &&

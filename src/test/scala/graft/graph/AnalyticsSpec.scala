@@ -186,6 +186,42 @@ class AnalyticsSpec extends SparkSpec {
       .map { case (n, xs) => n -> xs.size.toLong }
   }
 
+  test("personalizedPageRank equals the driver recurrence; all-seeds " +
+      "degenerates to pageRankFixedPoint; unreachable nodes rank 0") {
+    val es = seededEdges(40, 12, 0xabcdL) ++ Seq((100L, 101L)) // island
+    val edges = es.toDF("src", "dst")
+    val seeds = Seq(0L, 1L, 2L, 999L).toDF("node") // 999 not in graph
+    val iters = 4
+    val got = Analytics.personalizedPageRank(edges, seeds, iters)
+      .as[(Long, Long)].collect().toMap
+    // driver recurrence
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val outDeg = es.groupBy(_._1).map { case (s, xs) => (s, xs.size.toLong) }
+    val seedSet = Set(0L, 1L, 2L)
+    var r = nodes.map(n => n -> (if (seedSet(n)) 1000000000L else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = es.groupBy(_._2).map { case (d, xs) =>
+        (d, xs.map(e => r(e._1) / outDeg(e._1)).sum)
+      }
+      r = nodes.map { n =>
+        n -> ((if (seedSet(n)) 150000000L else 0L) +
+          in.getOrElse(n, 0L) * 85L / 100L)
+      }.toMap
+    }
+    assert(got == r)
+    // 999 was ignored: output covers exactly the edge-derived universe
+    assert(got.keySet == nodes.toSet)
+    // island nodes 100/101 are unreachable from the seeds: 0 mass
+    assert(got(100L) == 0L && got(101L) == 0L)
+    // all-seeds == global pageRank, bit for bit
+    val allSeeds = nodes.toSeq.toDF("node")
+    val ppr = Analytics.personalizedPageRank(edges, allSeeds, iters)
+      .as[(Long, Long)].collect().toMap
+    val pr = Analytics.pageRankFixedPoint(edges, iters)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr == pr)
+  }
+
   test("kCore equals driver-side peeling; handmade cascade peels in " +
       "multiple rounds") {
     // triangle {1,2,3} + a pendant chain 3-4-5: the 2-core must peel 5
