@@ -60,7 +60,8 @@ object Bench {
     "q_event_funnel", "q_kg_transcript_qa",
     "q_event_retention", "q_kg_clustering",
     "q_event_transitions", "q_doc_collocations",
-    "q_event_attribution", "q_kg_neighbor_agg", "q_kg_ppr")
+    "q_event_attribution", "q_kg_neighbor_agg", "q_kg_ppr",
+    "q_doc_quality_calibrated")
 
   private def session(threads: Int, codegen: Boolean = true,
       aqe: Boolean = true, partsPerCore: Int = 1): SparkSession = {

@@ -298,6 +298,15 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.qualityScore(col("text")).as("quality"))),
 
+    // per-source calibration of the quality score to min-rank permille
+    // percentiles: one (source, score) partial-agg exchange, rank math
+    // over the tiny counts table, equi-join map-back (AQE broadcasts)
+    "q_doc_quality_calibrated" -> ((s, dir) =>
+      graft.ops.Calibrate.permilleRankBySource(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality")),
+        scoreCol = "quality")),
+
     "q_doc_lang" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.langId(col("text")).as("lang_pred"))),
@@ -1220,6 +1229,27 @@ object SparkEntry {
        |SELECT node, label FROM lp$rounds""".stripMargin
   }
 
+  /** The quality-score heuristic as DuckDB SQL — (doc_id, source,
+    * quality) — shared by q_doc_quality and q_doc_quality_calibrated so
+    * the two oracles cannot drift from each other.
+    */
+  private def qualityScoreSql: String =
+    """SELECT doc_id, source, CAST(
+      | (CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 4
+      |   WHEN length(text) >= 20 THEN 2 ELSE 0 END)
+      | + (CASE WHEN np > 0 AND np <= nt / 3 + 1 THEN 3 ELSE 1 END)
+      | + (CASE WHEN nstop > 0 THEN 3 ELSE 1 END) AS BIGINT) AS quality
+      |FROM (SELECT doc_id, source, text,
+      |  CAST((length(text) - length(replace(text, '.', ''))) / 1 AS BIGINT) AS np,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |   END AS nt,
+      |  CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT)
+      |  + CAST((length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 AS BIGINT)
+      |  + CAST((length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT)
+      |   AS nstop
+      | FROM documents)""".stripMargin
+
   private val oracleSqlBase: Map[String, String] = Map(
     "q_kg_link_predict" ->
       """WITH pairs AS MATERIALIZED (
@@ -1683,22 +1713,25 @@ object SparkEntry {
         | min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "q_doc_quality" ->
-      """SELECT doc_id, CAST(
-        | (CASE WHEN length(text) >= 50 AND length(text) <= 5000 THEN 4
-        |   WHEN length(text) >= 20 THEN 2 ELSE 0 END)
-        | + (CASE WHEN np > 0 AND np <= nt / 3 + 1 THEN 3 ELSE 1 END)
-        | + (CASE WHEN nstop > 0 THEN 3 ELSE 1 END) AS BIGINT) AS quality
-        |FROM (SELECT doc_id, text,
-        |  CAST((length(text) - length(replace(text, '.', ''))) / 1 AS BIGINT) AS np,
-        |  CASE WHEN length(trim(text)) = 0 THEN 0
-        |   ELSE CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-        |   END AS nt,
-        |  CAST((length(lower(text)) - length(replace(lower(text), ' the ', ''))) / 5 AS BIGINT)
-        |  + CAST((length(lower(text)) - length(replace(lower(text), ' and ', ''))) / 5 AS BIGINT)
-        |  + CAST((length(lower(text)) - length(replace(lower(text), ' of ', ''))) / 4 AS BIGINT)
-        |   AS nstop
-        | FROM documents)""".stripMargin,
+    "q_doc_quality" -> s"SELECT doc_id, quality FROM ($qualityScoreSql)",
+
+    // calibration: rank math over the per-(source, score) counts CTE —
+    // the same min-rank arithmetic as Calibrate.permilleRankBySource
+    "q_doc_quality_calibrated" ->
+      s"""WITH q AS ($qualityScoreSql),
+         |c AS (SELECT source, quality, CAST(count(*) AS BIGINT) AS n
+         | FROM q GROUP BY 1, 2),
+         |r AS (SELECT source, quality,
+         |  CAST(COALESCE(sum(n) OVER (PARTITION BY source ORDER BY quality
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |   AS BIGINT) AS below,
+         |  CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS total
+         | FROM c)
+         |SELECT q.doc_id, q.source, q.quality,
+         | CASE WHEN r.total > 1
+         |  THEN CAST((r.below * 1000) // (r.total - 1) AS BIGINT)
+         |  ELSE CAST(0 AS BIGINT) END AS pct_pm
+         |FROM q JOIN r ON r.source = q.source AND r.quality = q.quality""".stripMargin,
 
     "q_doc_lang" ->
       """SELECT doc_id,

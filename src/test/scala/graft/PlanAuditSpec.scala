@@ -216,6 +216,23 @@ class PlanAuditSpec extends SparkSpec {
       "expected partial aggregation on the message pass:\n" + p.take(1500))
   }
 
+  test("quality calibration: rank window runs over the counts table, " +
+      "never the corpus, and the map-back stays equi-join") {
+    assume(has)
+    val p = physical(
+      SparkEntry.queries("q_doc_quality_calibrated")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "map-back must stay an equi-join")
+    // the window's direct child chain must contain the count aggregate —
+    // i.e. the per-source sort feeds distinct-score rows, not documents
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx >= 0 && aggIdx > winIdx,
+      "expected the rank window above the (source, score) count " +
+        s"aggregate:\n${p.take(1500)}")
+  }
+
   test("sourceJaccardKmv never rescans the corpus after the sketch " +
       "materializes; its only non-equi join is the bounded source-pair " +
       "cross") {
