@@ -61,7 +61,7 @@ object Bench {
     "q_event_retention", "q_kg_clustering",
     "q_event_transitions", "q_doc_collocations",
     "q_event_attribution", "q_kg_neighbor_agg", "q_kg_ppr",
-    "q_doc_quality_calibrated")
+    "q_doc_quality_calibrated", "q_kg_comentions", "q_event_anomaly")
 
   private def session(threads: Int, codegen: Boolean = true,
       aqe: Boolean = true, partsPerCore: Int = 1): SparkSession = {

@@ -774,6 +774,19 @@ object SparkEntry {
       KgPipeline.buildGraph(KgPipeline.extractMappings(s, cfg))
     }),
 
+    // relation-candidate mining over the linked transcripts: concepts
+    // co-mentioned in the same conversation -> lift-weighted candidate
+    // edges (conversation-set semantics, map-side pair generation capped
+    // per conv). Rows-only (synthetic input); CoMentionSpec carries the
+    // brute-force witness
+    "q_kg_comentions" -> ((s, dir) => {
+      val cfg = KgPipeline.Config(outDir = "", nConv = 300L,
+        turnsPerConv = 6, nConcepts = 200L)
+      kg.CoMention.mine(KgPipeline.extractMappings(s, cfg),
+        convCol = graft.core.Schema.MappingSource,
+        conceptCol = graft.core.Schema.ObjectId)
+    }),
+
     // transcript ingest gate: per-conversation well-formedness audit
     // (contiguous turn_idx, monotone ts, alternating known roles,
     // non-blank text) over the synthesized north-rule input table.
@@ -985,6 +998,13 @@ object SparkEntry {
     // carry-forward shape), never a touches×conversions range join
     "q_event_attribution" -> ((s, dir) =>
       graft.ops.Attribution.lastTouch(t(s, dir, "events"))),
+
+    // event-rate anomaly monitor: hourly per-type counts flagged by the
+    // robust (lower-median, MAD) gate — one corpus exchange, rank math
+    // over the tiny counts table, all-long so fully oracle-checkable
+    "q_event_anomaly" -> ((s, dir) =>
+      graft.ops.Anomaly.eventRateOutliers(t(s, dir, "events"),
+        bucketSeconds = 3600L, kPermille = 2000L)),
 
     // term co-occurrence lift edges (PMI's integer-exact argument) over
     // the top-25 vocabulary: doc-frequency agg → broadcast vocab filter
@@ -1319,6 +1339,31 @@ object SparkEntry {
         | CAST((n * 1000) // sum(n) OVER (PARTITION BY prev_type)
         |  AS BIGINT) AS p_pm
         |FROM c""".stripMargin,
+
+    // anomaly: the oracle computes the SAME lower median — the element
+    // at 1-based rank (n+1)//2 under (value, bucket) order — so med/MAD
+    // are integers on both engines (DuckDB's median() interpolates)
+    "q_event_anomaly" ->
+      """WITH c AS (SELECT event_type,
+        |  (epoch_ms(ts) // 1000) // 3600 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, n AS med FROM (
+        |  SELECT event_type, n, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n, bucket) AS rn,
+        |   count(*) OVER (PARTITION BY event_type) AS cnt FROM c)
+        | WHERE rn = (cnt + 1) // 2),
+        |d AS (SELECT c.event_type, c.bucket, c.n, m.med,
+        |  abs(c.n - m.med) AS ad
+        | FROM c JOIN m USING (event_type)),
+        |md AS (SELECT event_type, ad AS mad FROM (
+        |  SELECT event_type, ad, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY ad, bucket) AS rn,
+        |   count(*) OVER (PARTITION BY event_type) AS cnt FROM d)
+        | WHERE rn = (cnt + 1) // 2)
+        |SELECT d.event_type, d.bucket, d.n, d.med, md.mad,
+        | (d.ad * 1000 > 2000 * greatest(md.mad, 1)) AS is_anomaly
+        |FROM d JOIN md USING (event_type)""".stripMargin,
 
     // last-touch attribution: row_number-over-(us DESC, event_id DESC)
     // picks the same touch as Spark's running max(struct(us, event_id,
