@@ -216,6 +216,33 @@ class PlanAuditSpec extends SparkSpec {
       "expected partial aggregation on the message pass:\n" + p.take(1500))
   }
 
+  test("co-mention pairs are generated map-side: no self-join on " +
+      "conv_id, cf attaches by broadcast") {
+    assume(has)
+    val p = physical(SparkEntry.queries("q_kg_comentions")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "pair stage must not blow up")
+    // the pair explode comes from the per-conv array (Generate), never a
+    // link-table self-join keyed on conv_id
+    assert(p.contains("Generate explode"),
+      "expected map-side pair generation via explode")
+    assert(!p.contains("SortMergeJoin [conv_id") &&
+      !p.contains("ShuffledHashJoin [conv_id"),
+      "a conv_id self-join defeats the map-side pair design")
+  }
+
+  test("anomaly: the only corpus-sized exchange is the count aggregate") {
+    assume(has)
+    val p = physical(SparkEntry.queries("q_event_anomaly")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    // exactly one scan of the events parquet: median/MAD run over the
+    // localCheckpointed counts, never re-reading the corpus
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected at most one corpus scan, got $scans:\n" +
+      p.take(1200))
+  }
+
   test("quality calibration: rank window runs over the counts table, " +
       "never the corpus, and the map-back stays equi-join") {
     assume(has)
