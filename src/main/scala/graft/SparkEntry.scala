@@ -830,42 +830,24 @@ object SparkEntry {
       val feats = graph.Analytics.degrees(edges).select(col("node"), col("deg"))
       graph.Analytics.neighborAggregate(edges, feats, featureCol = "deg")
     }),
-    "q_kg_triangles" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    "q_kg_triangles" -> ((s, dir) =>
       // part co-occurrence graph: parts appearing in the same order
-      val pairs = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graph.Analytics.triangleCounts(pairs)
-    }),
+      graph.Analytics.triangleCounts(coOccurrencePairs(s, dir))),
 
     // local clustering coefficient (integer permille) over the same
     // co-occurrence graph as q_kg_triangles — the density feature a KG
     // consumer joins onto entities. All-long arithmetic → hash oracle
-    "q_kg_clustering" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_partkey") % 5 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graph.Analytics.clusteringCoefficient(pairs)
-    }),
+    "q_kg_clustering" -> ((s, dir) =>
+      graph.Analytics.clusteringCoefficient(
+        coOccurrencePairs(s, dir, partkeyMod = 5))),
 
     // k-core density filter over the same co-occurrence graph: iterative
     // peeling to the fixpoint (6 rounds at sf0.01 AND sf0.1; fail-loud
     // past maxRounds). Peeling is monotone, so the 10-round unrolled
     // oracle hash-matches any earlier convergence bit-for-bit
-    "q_kg_kcore" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graph.Analytics.kCore(pairs, k = 80, maxRounds = 10)
-    }),
+    "q_kg_kcore" -> ((s, dir) =>
+      graph.Analytics.kCore(coOccurrencePairs(s, dir), k = 80,
+        maxRounds = 10)),
 
     // link prediction (common neighbors / integer-permille Jaccard) over
     // a deterministic 20 %-of-parts slice of the co-occurrence graph:
@@ -873,16 +855,9 @@ object SparkEntry {
     // vertex set rather than capping pivots (the cap arm exists for
     // crawl scale — maxPivotDeg — but the oracle checks the exact form).
     // Integer-exact → full DuckDB hash oracle
-    "q_kg_link_predict" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_partkey") % 5 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val pairs = li.as("x").join(li.as("y"),
-        col("x.l_orderkey") === col("y.l_orderkey") &&
-          col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-      graph.Analytics.linkPredict(pairs, minCommon = 2L)
-    }),
+    "q_kg_link_predict" -> ((s, dir) =>
+      graph.Analytics.linkPredict(coOccurrencePairs(s, dir, partkeyMod = 5),
+        minCommon = 2L)),
 
     // deterministic synchronous label propagation (fixed 4 rounds,
     // min-label ties) over the entity graph — community structure the
@@ -1064,6 +1039,31 @@ object SparkEntry {
       graph.Incremental.mergeDelta(base, delta)
     })
   )
+
+  /** Part co-occurrence pairs (parts appearing in the same order), the
+    * shared input of the triangles/clustering/k-core/link-predict
+    * queries. ONE groupBy(l_orderkey) + map-side pair expansion over the
+    * per-order part set replaces the former lineitem self-join on
+    * l_orderkey (two 600 k-row exchanges + a sort-merge join): group
+    * sizes are bounded by order line counts (≤ 7 in TPC-H shapes), so
+    * the expansion is O(lines²) per order done map-side after a single
+    * exchange (guide §2.4 — remove shuffles outright). Every consumer
+    * canonicalizes to least/greatest + distinct, so emitting each
+    * unordered distinct pair once per order (in array order) yields the
+    * IDENTICAL edge set the self-join produced.
+    */
+  private def coOccurrencePairs(s: SparkSession, dir: String,
+      partkeyMod: Int = 0): DataFrame = {
+    val li0 = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val li = if (partkeyMod > 0) li0.filter(col("l_partkey") % partkeyMod === 0)
+      else li0
+    li.groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "y -> struct(x AS src, y AS dst))))")).as("p"))
+      .select(col("p.src"), col("p.dst"))
+  }
 
   /** supplier→nation, customer→nation, nation→region as a prefixed
     * string-id edge list (the analytics family's shared input).

@@ -436,11 +436,21 @@ object Dedup {
     // one exchange by doc_id serves both window functions (set size and
     // rarity rank); ceil guarded an ulp low so FP can only LENGTHEN the
     // prefix (extra candidates), never shorten it (lost recall)
+    // df >= 2 prefilter is LOSSLESS for the pair join below: a shingle
+    // shared by docs a and b has document frequency >= 2 by definition,
+    // so a df=1 prefix entry joins with nothing (it can only meet its own
+    // doc, which doc_a < doc_b discards). Dropping those rows AFTER the
+    // prefix positions (n, rn) are fixed cuts the self-join input by the
+    // unique-shingle mass — the dominant fraction on real corpora — while
+    // p_a/p_b keep their full-prefix positions, so the PPJoin positional
+    // bound is unchanged and every true pair still survives through its
+    // first shared element.
     val prefix = graft.core.SparkUtil.materializeOnce(
       sh.join(dfreq, "sh")
         .withColumn("n", count(lit(1)).over(byDoc))
         .withColumn("rn", row_number().over(order))
         .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+        .filter(col("df") >= 2L)
         .select(col("sh"), col("doc_id"), col("n"), col("rn")))
     val a = prefix.select(col("sh"), col("doc_id").as("doc_a"),
       col("n").as("n_a"), col("rn").as("p_a"))
@@ -457,20 +467,37 @@ object Dedup {
       least(col("n_a") - col("p_a"), col("n_b") - col("p_b"))
     val requiredOverlap =
       (col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - 1e-9
+    // n_a/n_b ride along (identical for every row of a pair, so the
+    // pair-keyed dedup is unaffected) — the verify below needs only the
+    // intersection size once the set sizes are known
     val cand = a.join(b, Seq("sh"))
       .filter(col("doc_a") < col("doc_b") &&
         col("n_b") >= col("n_a") * threshold - 1e-9 &&
         col("n_a") >= col("n_b") * threshold - 1e-9 &&
         overlapBound >= requiredOverlap)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "n_a", "n_b")
       .dropDuplicates("doc_a", "doc_b")
-    val texts = documents.select(col("doc_id"), col("text"))
+    // Verify against each doc's PRECOMPUTED distinct shingle set instead
+    // of re-tokenizing both texts per candidate pair (the old jaccardUdf
+    // re-ran the shingle kernel 2× per candidate; candidates outnumber
+    // true pairs by orders of magnitude, so tokenization dominated the
+    // verify stage — guide §1.2 "per-task work"). One tokenize pass over
+    // the corpus, then a codegen'd array_intersect per pair. Bit-identical
+    // result: both sets are the same distinct shingle sets the UDF built
+    // internally, n_x equals the set size (the window count over the
+    // exploded distinct set), and inter/(n_a+n_b-inter) divides the same
+    // exactly-representable integers — a candidate's sets are never empty
+    // (it has at least one prefix row), so the UDF's empty-set branches
+    // cannot fire on this path.
+    val docSets = documents.select(col("doc_id"), shSet(col("text")).as("shs"))
     cand
-      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+      .join(docSets.select(col("doc_id").as("doc_a"), col("shs").as("sa")),
         Seq("doc_a"))
-      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+      .join(docSets.select(col("doc_id").as("doc_b"), col("shs").as("sb")),
         Seq("doc_b"))
-      .withColumn("jaccard", jaccardUdf(k)(col("text_a"), col("text_b")))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_a") + col("n_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }

@@ -97,18 +97,38 @@ object Analytics {
     * @return (node, n_triangles) for nodes in at least one triangle.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
-    // total degree in the canonical simple graph
-    val deg = canon.select(col("a").as("node"))
+    val canon = canonicalize(edges)
+    triangleCountsFromCanon(canon, degOf(canon).localCheckpoint(true))
+  }
+
+  /** Canonical undirected simple-graph form: (a < b), deduplicated,
+    * self-loops dropped; eagerly checkpointed (every caller consumes it
+    * from at least two plan branches and Catalyst has no cross-branch
+    * CSE).
+    */
+  private def canonicalize(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b"))
+    .filter(col("a") =!= col("b"))
+    .distinct()
+    .localCheckpoint(true)
+
+  /** Total degree per node over the canonical simple graph. */
+  private def degOf(canon: DataFrame): DataFrame =
+    canon.select(col("a").as("node"))
       .union(canon.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Triangle kernel over an already-canonical edge set with its degree
+    * table (node-sized, checkpointed by the caller — it is referenced
+    * from both orientation joins, which would otherwise re-run the
+    * degree aggregation twice).
+    */
+  private def triangleCountsFromCanon(canon: DataFrame,
+      deg: DataFrame): DataFrame = {
     // orient each edge low→high by (deg, id); ties break on id so the
-    // orientation is a strict total order (acyclic)
+    // orientation is a strict total order (acyclic). The two degree
+    // attaches are node-sized build sides AQE turns into broadcasts.
     val withDeg = canon
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"),
         Seq("a"))
@@ -121,14 +141,21 @@ object Analytics {
       when(lowFirst, col("b")).otherwise(col("a")).as("hi"))
       .localCheckpoint(true)
     // wedges pivoting at `lo`: pairs of out-neighbors; closing edge must
-    // exist in the CANONICAL (undirected) edge set
+    // exist in the CANONICAL (undirected) edge set. Both joins carry a
+    // SHUFFLE_HASH hint (guide §3.1): the edge-sized build sides hash in
+    // O(n) per partition while the wedge stream — Σ C(out-deg, 2) rows,
+    // the dominant volume — is never sorted, which a sort-merge join
+    // would pay twice (once per join). Orientation bounds out-deg by
+    // O(√|E|), so no build partition is hot; AQE can still re-plan the
+    // build side to broadcast when it fits.
     val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.lo") === col("e2.lo"))
+      .join(oriented.as("e2").hint("shuffle_hash"),
+        col("e1.lo") === col("e2.lo"))
       .filter(col("e1.hi") < col("e2.hi"))
       .select(col("e1.lo").as("x"),
         least(col("e1.hi"), col("e2.hi")).as("a"),
         greatest(col("e1.hi"), col("e2.hi")).as("b"))
-    val triangles = wedges.join(canon, Seq("a", "b"))
+    val triangles = wedges.join(canon.hint("shuffle_hash"), Seq("a", "b"))
       .select(col("x"), col("a"), col("b"))
     triangles
       .select(explode(array(col("x"), col("a"), col("b"))).as("node"))
@@ -152,17 +179,12 @@ object Analytics {
     * @return (node, deg, n_triangles, cc_pm) for nodes with deg ≥ 2.
     */
   def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
-    val deg = canon.select(col("a").as("node"))
-      .union(canon.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val tri = triangleCounts(
-      canon.select(col("a").as("src"), col("b").as("dst")))
+    // ONE canonicalization + ONE degree aggregation shared with the
+    // triangle kernel (the former composition re-distinct'd the already-
+    // canonical edges into a second checkpoint and re-ran the degree agg)
+    val canon = canonicalize(edges)
+    val deg = degOf(canon).localCheckpoint(true)
+    val tri = triangleCountsFromCanon(canon, deg)
     deg.filter(col("deg") >= 2L)
       .join(tri, Seq("node"), "left_outer")
       .select(col("node"), col("deg"),
@@ -205,20 +227,30 @@ object Analytics {
     // the two semi-joins below never re-run the aggregation) — survivors
     // are a small build side AQE turns into broadcast semi-joins, so the
     // edge set is never shuffled for the filter, only for the degree agg
-    def degs(es: DataFrame): DataFrame =
-      es.select(col("a").as("node"))
+    // the under-k convergence count rides the SAME checkpoint job via
+    // Dataset.observe (the connectedComponents pattern) — one job per
+    // round instead of a separate filter/limit/count driver check
+    var degRound = 0
+    def degs(es: DataFrame): (DataFrame, Long) = {
+      degRound += 1
+      val obs = org.apache.spark.sql.Observation(s"kcore_$degRound")
+      val d = es.select(col("a").as("node"))
         .union(es.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
+        .observe(obs, sum(when(col("core_deg") < k, 1L).otherwise(0L))
+          .as("under"))
         .localCheckpoint(true)
-    var cur = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
-    var deg = degs(cur)
+      val under = obs.get.get("under").map {
+        case null => 0L
+        case l: java.lang.Long => l.longValue()
+        case other => other.toString.toLong
+      }.getOrElse(0L)
+      (d, under)
+    }
+    var cur = canonicalize(edges)
+    var (deg, under) = degs(cur)
     var round = 0
-    while (deg.filter(col("core_deg") < k).limit(1).count() > 0L) {
+    while (under > 0L) {
       round += 1
       if (round > maxRounds)
         throw new IllegalStateException(
@@ -230,7 +262,9 @@ object Analytics {
         .join(survivors.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select("a", "b")
         .localCheckpoint(true)
-      deg = degs(cur)
+      val du = degs(cur)
+      deg = du._1
+      under = du._2
     }
     // the converged round's degree table IS the k-core profile (every
     // node in it has degree >= k; empty when no core exists)
@@ -275,12 +309,7 @@ object Analytics {
   def linkPredict(edges: DataFrame, minCommon: Long = 2L,
       minJaccardPm: Long = 0L, maxPivotDeg: Int = 0): DataFrame = {
     require(minCommon >= 1L, s"need minCommon >= 1, got $minCommon")
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+    val canon = canonicalize(edges)
     val nbr = canon.select(col("a").as("node"), col("b").as("nbr"))
       .union(canon.select(col("b").as("node"), col("a").as("nbr")))
     val deg = nbr.groupBy("node").agg(count(lit(1)).as("deg"))
@@ -297,7 +326,10 @@ object Analytics {
     // shuffles on, so it rides the existing exchange
     val pv = pivots.join(deg, Seq("node"))
       .withColumn("rc", expr("1000 div deg")).drop("deg")
-    val wedges = pv.as("x").join(pv.as("y"),
+    // SHUFFLE_HASH: the build side is adjacency-sized and hashes in
+    // O(n); a sort-merge join would sort both copies AND stream the
+    // Σ deg² wedge output through its sorted merge (guide §3.1)
+    val wedges = pv.as("x").join(pv.as("y").hint("shuffle_hash"),
         col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
       .select(col("x.nbr").as("a"), col("y.nbr").as("b"),
         col("x.rc").as("rc"))
@@ -351,8 +383,12 @@ object Analytics {
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val nbr = canon.select(col("a").as("node"), col("b").as("nbr"))
-      .union(canon.select(col("b").as("node"), col("a").as("nbr")))
+    // both directions in ONE pass via explode — a self-union would
+    // re-execute the distinct once per branch (no cross-branch CSE)
+    val nbr = canon.select(explode(array(
+        struct(col("a").as("node"), col("b").as("nbr")),
+        struct(col("b").as("node"), col("a").as("nbr")))).as("e"))
+      .select(col("e.node"), col("e.nbr"))
       .localCheckpoint(true)
     var labels = nbr.select(col("node")).distinct()
       .select(col("node"), col("node").as("label"))

@@ -52,6 +52,44 @@ object Drive {
       s.stop(); return
     }
     if (sys.env.contains("DRIVE_REPPACK")) { repPackCheck(); return }
+    if (sys.env.contains("DRIVE_NGRAM_CAND")) {
+      import org.apache.spark.sql.functions._
+      // candidate-volume probe for the PPJoin pipeline at a given SF:
+      // docs, shingle rows, df>=2 shingle rows, prefix rows, raw join
+      // rows, candidates after positional filter + dedup, verified pairs
+      val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
+      val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val shSet = udf((t: String) => graft.text.TextHash.shingleHashSet(t, 3))
+      val sh = docs.select(col("doc_id"), explode(shSet(col("text"))).as("sh"))
+        .localCheckpoint(true)
+      println(s"docs=${docs.count()} shingleRows=${sh.count()}")
+      val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df")).localCheckpoint(true)
+      println(s"distinctShingles=${dfreq.count()} df2=${dfreq.filter(col("df") >= 2).count()}")
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy("doc_id")
+      val order = byDoc.orderBy(col("df").asc, col("sh").asc)
+      val threshold = 0.5
+      val prefix = sh.join(dfreq, "sh")
+        .withColumn("n", count(lit(1)).over(byDoc))
+        .withColumn("rn", row_number().over(order))
+        .filter(col("rn") <= col("n") - ceil(col("n") * threshold - 1e-9) + 1)
+        .localCheckpoint(true)
+      println(s"prefixRows=${prefix.count()} prefixDf2=${prefix.filter(col("df") >= 2).count()}")
+      val p2 = prefix.filter(col("df") >= 2)
+      val a = p2.select(col("sh"), col("doc_id").as("doc_a"), col("n").as("n_a"), col("rn").as("p_a"))
+      val b = p2.select(col("sh"), col("doc_id").as("doc_b"), col("n").as("n_b"), col("rn").as("p_b"))
+      val joined = a.join(b, Seq("sh")).filter(col("doc_a") < col("doc_b"))
+      println(s"rawJoinRows=${joined.count()}")
+      val overlapBound = lit(1.0) + least(col("n_a") - col("p_a"), col("n_b") - col("p_b"))
+      val requiredOverlap = (col("n_a") + col("n_b")) * (threshold / (1.0 + threshold)) - 1e-9
+      val cand = joined
+        .filter(col("n_b") >= col("n_a") * threshold - 1e-9 &&
+          col("n_a") >= col("n_b") * threshold - 1e-9 && overlapBound >= requiredOverlap)
+        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+      println(s"candidates=${cand.count()}")
+      s.stop(); return
+    }
     if (sys.env.contains("DRIVE_S5NEW")) { session5NewOps(); return }
     val scale = sys.env.getOrElse("SPARK_GRAFT_KG_CONV", "3000").toLong
     import graft.kg.KgPipeline
