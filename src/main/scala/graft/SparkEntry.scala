@@ -29,6 +29,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     graft.core.SparkUtil.spread(s.read.parquet(s"$dir/$name.parquet"))
 
+  /** Raw scan (no spread): for query paths whose FIRST operation is an
+    * aggregation / distinct / window / equi-join — parallelism arrives at
+    * that first exchange anyway, the pre-exchange map side is a trivial
+    * projection (serial either way on a one-row-group input), and
+    * `spread()`'s round-robin repartition would only add a full extra
+    * exchange + sort-before-repartition of the input (guide §2.4 "remove
+    * shuffles outright"). Map-heavy paths (tokenize/UDF kernels) keep
+    * `t`'s spread.
+    */
+  private def tRaw(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship: the KG-construction pipeline (north rule) at smoke scale —
     * transcripts → mention detection → linking → reconcile → components.
     */
@@ -47,7 +59,7 @@ object SparkEntry {
     * string building. Output-identical to distinct-after-concat.
     */
   private def mappingsFromLineitem(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    tRaw(s, dir, "lineitem")
       .select("l_partkey", "l_returnflag", "l_suppkey", "l_discount")
       .distinct()
       .select(
@@ -61,18 +73,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- aggregations (§2.5) ----
     "q_collapse_agg" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      tRaw(s, dir, "lineitem")
         .groupBy("l_orderkey", "l_partkey", "l_suppkey")
         .agg(max("l_quantity").as("max_qty"), count(lit(1)).as("n"))),
 
     "q_crosstab" -> ((s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+      tRaw(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"))),
 
     // ---- window-shaped reconcile (§2.4, §2.6) ----
     "q_window_max_filter" -> ((s, dir) => {
       val w = Window.partitionBy("l_orderkey")
-      t(s, dir, "lineitem")
+      tRaw(s, dir, "lineitem")
         .withColumn("m", max("l_extendedprice").over(w))
         .filter(col("l_extendedprice") >= col("m"))
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
@@ -83,8 +95,8 @@ object SparkEntry {
 
     // ---- joins / set ops (§2.4, §2.8) ----
     "q_anti_remove" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val removed = t(s, dir, "orders")
+      val li = tRaw(s, dir, "lineitem")
+      val removed = tRaw(s, dir, "orders")
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey").as("l_orderkey")).distinct()
       li.join(removed, Seq("l_orderkey"), "left_anti")
@@ -92,12 +104,12 @@ object SparkEntry {
     }),
 
     "q_union_dedup" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      tRaw(s, dir, "lineitem")
         .select(col("l_returnflag").as("flag"), col("l_linestatus").as("status"))
         .distinct()),
 
     "q_diff_pairs" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
+      val li = tRaw(s, dir, "lineitem")
       val cut = lit("1995-07-01").cast("timestamp")
       val a = li.filter(col("l_shipdate") < cut)
         .select("l_partkey", "l_suppkey").distinct()
@@ -118,7 +130,7 @@ object SparkEntry {
       // pairs feeds three branches; without a boundary the 600 k-row
       // distinct re-executes per branch (no-CSE rule)
       val pairs = graft.core.SparkUtil.materializeOnce(
-        t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct())
+        tRaw(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct())
       val nSupp = pairs.groupBy("l_partkey")
         .agg(countDistinct("l_suppkey").as("n_objects"))
       val nPart = pairs.groupBy("l_suppkey")
@@ -133,7 +145,7 @@ object SparkEntry {
 
     // ---- inversion (§2.9) ----
     "q_invert" -> ((s, dir) =>
-      t(s, dir, "lineitem")
+      tRaw(s, dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_returnflag").distinct()
         .select(col("l_suppkey").as("subject_id"),
           col("l_partkey").as("object_id"),
@@ -152,7 +164,7 @@ object SparkEntry {
       val w = Window.partitionBy("l_returnflag")
         .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
           col("l_linenumber").asc)
-      t(s, dir, "lineitem")
+      tRaw(s, dir, "lineitem")
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 3)
         .select("l_returnflag", "l_orderkey", "l_linenumber",
@@ -163,7 +175,7 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
         .orderBy(col("ms").asc, col("event_id").asc)
-      t(s, dir, "events")
+      tRaw(s, dir, "events")
         .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
         .withColumn("prev", lag("ms", 1).over(w))
         .withColumn("ns",
@@ -1054,7 +1066,7 @@ object SparkEntry {
     */
   private def coOccurrencePairs(s: SparkSession, dir: String,
       partkeyMod: Int = 0): DataFrame = {
-    val li0 = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val li0 = tRaw(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     val li = if (partkeyMod > 0) li0.filter(col("l_partkey") % partkeyMod === 0)
       else li0
     li.groupBy("l_orderkey").agg(collect_set(col("l_partkey")).as("ps"))
@@ -1069,13 +1081,13 @@ object SparkEntry {
     * string-id edge list (the analytics family's shared input).
     */
   private def kgAnalyticsEdges(s: SparkSession, dir: String): DataFrame = {
-    val sup = t(s, dir, "supplier").select(
+    val sup = tRaw(s, dir, "supplier").select(
       concat(lit("s"), col("s_suppkey")).as("src"),
       concat(lit("n"), col("s_nationkey")).as("dst"))
-    val cust = t(s, dir, "customer").select(
+    val cust = tRaw(s, dir, "customer").select(
       concat(lit("c"), col("c_custkey")).as("src"),
       concat(lit("n"), col("c_nationkey")).as("dst"))
-    val nat = t(s, dir, "nation").select(
+    val nat = tRaw(s, dir, "nation").select(
       concat(lit("n"), col("n_nationkey")).as("src"),
       concat(lit("r"), col("n_regionkey")).as("dst"))
     sup.unionByName(cust).unionByName(nat)
