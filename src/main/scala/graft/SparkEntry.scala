@@ -190,7 +190,7 @@ object SparkEntry {
     // type — counts, distinct users, and exact min/max (sum(double)
     // is order-dependent, so the oracle-facing stats stay exact)
     "q_event_hourly" -> ((s, dir) =>
-      t(s, dir, "events")
+      tRaw(s, dir, "events")
         .groupBy(window(col("ts").cast("timestamp"), "1 hour"),
           col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -206,7 +206,7 @@ object SparkEntry {
     // (ONE exchange by key, no quadratic range join); inner form here
     // (clicks with no preceding view dropped) for a null-free oracle
     "q_event_asof" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = tRaw(s, dir, "events")
         .withColumn("ms", unix_millis(col("ts").cast("timestamp")))
       val clicks = ev.filter(col("event_type") === "click")
         .select("event_id", "user_id", "ms")
@@ -229,7 +229,7 @@ object SparkEntry {
     // — the diagnostic a pipeline runs before choosing salting vs
     // broadcast vs AQE; ties break on the key string
     "q_skew_key_audit" -> ((s, dir) =>
-      graft.ops.Skew.keyStats(t(s, dir, "events")
+      graft.ops.Skew.keyStats(tRaw(s, dir, "events")
         .select(col("event_type")), "event_type", topN = 10)),
 
     // salted two-stage aggregation: (key, salt) partials spread a hot
@@ -237,16 +237,16 @@ object SparkEntry {
     // bit-identical to the direct groupBy (integer sums are order-free)
     "q_skew_salted_agg" -> ((s, dir) =>
       graft.ops.Skew.saltedAggregate(
-        t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        tRaw(s, dir, "documents").select("doc_id", "source", "n_chars"),
         "source", sums = Seq("n_chars"), salts = 16)),
 
     // salted equi-join: build side replicated ×16, probe routed by row
     // hash — a skewed probe key's rows scatter across 16 tasks; same
     // rows as the plain join (the oracle)
     "q_skew_salted_join" -> ((s, dir) => {
-      val probe = t(s, dir, "lineitem")
+      val probe = tRaw(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      val build = t(s, dir, "orders")
+      val build = tRaw(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
       graft.ops.Skew.saltedJoin(probe, build, "l_orderkey", salts = 16)
     }),
@@ -255,7 +255,7 @@ object SparkEntry {
     // JsonToStructs, not string hacks) feeding a partial-agg rollup —
     // the log-metadata parse every event pipeline runs before anything
     "q_event_json_rollup" -> ((s, dir) =>
-      t(s, dir, "events")
+      tRaw(s, dir, "events")
         .select(col("event_type"),
           from_json(col("props"),
             org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
@@ -285,10 +285,10 @@ object SparkEntry {
 
     // ---- connected components (§2.9) ----
     "q_cc_small" -> ((s, dir) => {
-      val sup = t(s, dir, "supplier").select(
+      val sup = tRaw(s, dir, "supplier").select(
         concat(lit("s"), col("s_suppkey")).as("src"),
         concat(lit("n"), col("s_nationkey")).as("dst"))
-      val nat = t(s, dir, "nation").select(
+      val nat = tRaw(s, dir, "nation").select(
         concat(lit("n"), col("n_nationkey")).as("src"),
         concat(lit("r"), col("n_regionkey")).as("dst"))
       Components.connectedComponents(sup.unionByName(nat))
@@ -960,7 +960,7 @@ object SparkEntry {
     // (user-keyed, range residual) to the qualifying stage-(i-1)
     // events. Timestamp arithmetic only → full DuckDB hash oracle
     "q_event_funnel" -> ((s, dir) =>
-      graft.ops.Funnel.funnelCounts(t(s, dir, "events"),
+      graft.ops.Funnel.funnelCounts(tRaw(s, dir, "events"),
         steps = Seq("signup", "click", "purchase"),
         maxGapMicros = 28800000000L)),
 
@@ -969,7 +969,7 @@ object SparkEntry {
     // activity stream on the same key, then one (cohort, offset)
     // distinct-count agg. Pure long arithmetic → full DuckDB hash oracle
     "q_event_retention" -> ((s, dir) =>
-      graft.ops.Retention.cohorts(t(s, dir, "events"),
+      graft.ops.Retention.cohorts(tRaw(s, dir, "events"),
         periodSeconds = 21600L)),
 
     // first-order Markov transition matrix over per-user event paths —
@@ -977,20 +977,20 @@ object SparkEntry {
     // matrix that follows is bounded by |event types|², so every
     // aggregate past the lag is driver-tiny. Pure long permille → oracle
     "q_event_transitions" -> ((s, dir) =>
-      graft.ops.Transitions.matrix(t(s, dir, "events"))),
+      graft.ops.Transitions.matrix(tRaw(s, dir, "events"))),
 
     // last-touch attribution: conversions credited to the same user's
     // most recent strictly-earlier touch within 4 h — ONE user-keyed
     // window with a running max over preceding touches (the as-of
     // carry-forward shape), never a touches×conversions range join
     "q_event_attribution" -> ((s, dir) =>
-      graft.ops.Attribution.lastTouch(t(s, dir, "events"))),
+      graft.ops.Attribution.lastTouch(tRaw(s, dir, "events"))),
 
     // event-rate anomaly monitor: hourly per-type counts flagged by the
     // robust (lower-median, MAD) gate — one corpus exchange, rank math
     // over the tiny counts table, all-long so fully oracle-checkable
     "q_event_anomaly" -> ((s, dir) =>
-      graft.ops.Anomaly.eventRateOutliers(t(s, dir, "events"),
+      graft.ops.Anomaly.eventRateOutliers(tRaw(s, dir, "events"),
         bucketSeconds = 3600L, kPermille = 2000L)),
 
     // term co-occurrence lift edges (PMI's integer-exact argument) over
@@ -1005,7 +1005,7 @@ object SparkEntry {
     // replicate over 10-min bins, probes hit one bin, each pair meets
     // exactly once (no dedup shuffle, no nested-loop join)
     "q_event_range_join" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
+      val ev = tRaw(s, dir, "events")
       val us = unix_micros(col("ts").cast("timestamp"))
       val errors = ev.filter(col("event_type") === "error").select(
         col("event_id").as("err_id"), col("user_id"),
@@ -1038,13 +1038,13 @@ object SparkEntry {
     // an already-labeled supplier∪nation graph; the oracle closes over
     // the FULL union, so the hash match proves delta-merge ≡ recompute
     "q_kg_cc_incremental" -> ((s, dir) => {
-      val sup = t(s, dir, "supplier").select(
+      val sup = tRaw(s, dir, "supplier").select(
         concat(lit("s"), col("s_suppkey")).as("src"),
         concat(lit("n"), col("s_nationkey")).as("dst"))
-      val nat = t(s, dir, "nation").select(
+      val nat = tRaw(s, dir, "nation").select(
         concat(lit("n"), col("n_nationkey")).as("src"),
         concat(lit("r"), col("n_regionkey")).as("dst"))
-      val delta = t(s, dir, "customer").select(
+      val delta = tRaw(s, dir, "customer").select(
         concat(lit("c"), col("c_custkey")).as("src"),
         concat(lit("n"), col("c_nationkey")).as("dst"))
       val base = Components.connectedComponents(sup.unionByName(nat))

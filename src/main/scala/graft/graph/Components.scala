@@ -66,13 +66,17 @@ object Components {
     // driver-side union-find replaces O(diameter) Spark rounds — each a
     // job + checkpoint of pure scheduler latency at these sizes — with
     // one collect of the already-materialized checkpoint. Labels are
-    // IDENTICAL (min member id per component); long-id graphs only (the
-    // numeric ordering is unambiguous; string ids keep the distributed
-    // path whose min semantics are Spark's). The count/collect read the
-    // checkpoint, not the upstream pair join.
+    // IDENTICAL (min member id per component): long ids use numeric min;
+    // string ids use UTF-8 binary (= code-point) min, which is exactly
+    // the ordering of Spark's UTF8String.compareTo AND DuckDB's VARCHAR
+    // comparison — NOT Java's String.compareTo, whose UTF-16 code-unit
+    // order disagrees for supplementary characters, hence the explicit
+    // comparator. The count/collect read the checkpoint, not the
+    // upstream pair join.
     val smallCutoff = 1000000L
-    if (und.schema("src").dataType ==
-        org.apache.spark.sql.types.LongType && und.count() <= smallCutoff) {
+    val idType = und.schema("src").dataType
+    if (idType == org.apache.spark.sql.types.LongType &&
+        und.count() <= smallCutoff) {
       val rows = und.collect()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x0: Long): Long = {
@@ -92,6 +96,41 @@ object Components {
       // component label = min member; with union-by-min the root IS the
       // minimum id of its component
       val srcNodes = rows.map(_.getLong(0)).distinct
+      import spark.implicits._
+      return srcNodes.map(nd => (nd, find(nd))).toSeq.toDF("node", "comp")
+    }
+    if (idType == org.apache.spark.sql.types.StringType &&
+        und.count() <= smallCutoff) {
+      // UTF-8 binary less-than: code-point comparison (equal prefixes
+      // advance both cursors identically, so one shared index is safe)
+      def u8Less(a: String, b: String): Boolean = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+          if (ca != cb) return ca < cb
+          i += Character.charCount(ca)
+        }
+        a.length < b.length
+      }
+      val rows = und.collect()
+      val parent = scala.collection.mutable.HashMap.empty[String, String]
+      def find(x0: String): String = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p) // path halving
+          x = parent(x)
+        }
+        x
+      }
+      rows.foreach { r =>
+        val a = find(r.getString(0)); val b = find(r.getString(1))
+        if (a != b) {
+          if (u8Less(a, b)) parent(b) = a else parent(a) = b
+        }
+      }
+      val srcNodes = rows.map(_.getString(0)).distinct
       import spark.implicits._
       return srcNodes.map(nd => (nd, find(nd))).toSeq.toDF("node", "comp")
     }

@@ -66,7 +66,9 @@ object Attribution {
           col("lt.event_type")).otherwise(lit("direct")).as("touch_type"),
         when(col("lt").isNotNull &&
             col("us") - col("lt.us") <= windowSeconds * 1000000L,
-          (col("us") - col("lt.us")).divide(lit(1000000L)).cast("long"))
+          // integer floor division (not double divide + cast): exact for
+          // ANY gap magnitude, matching the oracle's `div` (ADVICE r5)
+          expr("(us - lt.us) div 1000000L"))
           .otherwise(lit(-1L)).as("gap_s"))
   }
 }

@@ -47,9 +47,10 @@ object Skew {
     // previous `df.count()` denominator re-scanned the full input a second
     // time (a wasted full pass at 100 TB); Catalyst would not CSE the agg
     // across the two consumers either, hence the explicit boundary.
+    // no spread(): the pre-exchange side is a trivial projection, so the
+    // aggregation's own exchange is the parallelism point (guide §2.4)
     val counts = graft.core.SparkUtil.materializeOnce(
-      graft.core.SparkUtil.spread(df)
-        .groupBy(col(keyCol).cast("string").as("key"))
+      df.groupBy(col(keyCol).cast("string").as("key"))
         .agg(count(lit(1)).as("n")))
     val total = lit(counts.agg(coalesce(sum(col("n")), lit(0L)))
       .first().getLong(0))
@@ -76,7 +77,7 @@ object Skew {
     require(salts >= 1, s"need salts >= 1, got $salts")
     require(!df.columns.contains("__salt"),
       "input already has a __salt column (reserved by saltedAggregate)")
-    val salted = graft.core.SparkUtil.spread(df)
+    val salted = df
       .withColumn("__salt",
         pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val partial = salted.groupBy(col(keyCol), col("__salt"))
@@ -108,9 +109,14 @@ object Skew {
       "input already has a __salt column (reserved by saltedJoin)")
     val b = build.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
-    val p = graft.core.SparkUtil.spread(probe)
+    val p = probe
       .withColumn("__salt",
         pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(salts)))
-    p.join(b, Seq(key, "__salt")).drop("__salt")
+    // SHUFFLE_HASH on the replicated build side: it hashes in O(n) per
+    // partition while the probe streams unsorted — a sort-merge join
+    // would sort the salts-times-replicated build AND the probe (guide
+    // §3.1); the salt in the key already bounds per-partition build size,
+    // and AQE may still upgrade to broadcast when the build fits
+    p.join(b.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 }

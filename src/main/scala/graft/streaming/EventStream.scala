@@ -43,6 +43,15 @@ case class AttributedConv(conv_id: Long, user_id: Long, touch_id: Long,
   */
 object EventStream {
 
+  /** Full-microsecond event time: `getTime` truncates to milliseconds,
+    * while the batch twin compares `unix_micros(ts)` — recover the
+    * sub-millisecond component from `getNanos` so strictly-before
+    * checks, (us, event_id) tie-breaks, window-boundary decisions and
+    * gap_s stay bit-identical to the batch operator (ADVICE r5).
+    */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("user_id", LongType),
@@ -86,11 +95,11 @@ object EventStream {
             // the batch frame's exact total order: conversions sort
             // BEFORE touches at equal ts (false < true), event_id last
             val sorted = evs.toArray.sortBy(e =>
-              (e.ts.getTime * 1000L, touchSet(e.event_type), e.event_id))
+              (tsMicros(e.ts), touchSet(e.event_type), e.event_id))
             val out = Seq.newBuilder[AttributedConv]
             var best = state.getOption
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = tsMicros(e.ts)
               if (touchSet(e.event_type)) {
                 if (best.forall(b =>
                     b.us < us || (b.us == us && b.eventId < e.event_id)))

@@ -97,7 +97,7 @@ object BpeTrain {
     * word fully fused).
     */
   def train(docs: DataFrame, textCol: String = "text",
-      nMerges: Int = 20): Seq[Merge] = {
+      nMerges: Int = 20, smallDictCutoff: Long = 2000000L): Seq[Merge] = {
     require(nMerges >= 1 && nMerges <= 10000,
       s"nMerges out of range: $nMerges")
     val symsUdf = udf((word: String) => charSyms(word))
@@ -106,6 +106,57 @@ object BpeTrain {
     var words = wordFreq(docs, textCol)
       .select(symsUdf(col("word")).as("syms"), col("freq"))
       .localCheckpoint(true)
+    // Size-adaptive fast path (the Components.connectedComponents
+    // union-find precedent): the dictionary is VOCABULARY-sized — orders
+    // of magnitude under the corpus — and when it fits the driver, the
+    // greedy merge loop runs in memory over the collected (syms, freq)
+    // rows instead of 2 Spark jobs per merge (pair agg + rewrite
+    // checkpoint), which at small dictionaries is pure scheduler
+    // latency. The loop below IS the reference trainer the distributed
+    // rounds are spec-equal to (BpeTrainSpec): same leftmost applyMerge,
+    // same (freq desc, left asc, right asc) argmax — the merge sequence
+    // is identical by construction. Large dictionaries keep the
+    // distributed rounds.
+    if (words.count() <= smallDictCutoff) {
+      var mem: Array[(Seq[String], Long)] = words.collect()
+        .map(r => (r.getSeq[String](0), r.getLong(1)))
+      val merges = Seq.newBuilder[Merge]
+      var rank = 1
+      var exhausted = false
+      while (rank <= nMerges && !exhausted) {
+        val counts = scala.collection.mutable.HashMap
+          .empty[(String, String), Long]
+        mem.foreach { case (syms, f) =>
+          var i = 0
+          while (i + 1 < syms.length) {
+            val k = (syms(i), syms(i + 1))
+            counts.update(k, counts.getOrElse(k, 0L) + f)
+            i += 1
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          // argmax by (freq desc, left asc, right asc) with the STRING
+          // order Spark's orderBy uses — UTF-8 binary = code-point order
+          // (Java String.compareTo is UTF-16 code-unit order, which
+          // disagrees for supplementary vs U+E000.. BMP symbols)
+          def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          def less(a: ((String, String), Long), b: ((String, String), Long)): Boolean = {
+            if (a._2 != b._2) a._2 > b._2
+            else {
+              val cl = java.util.Arrays.compare(u8(a._1._1), u8(b._1._1))
+              if (cl != 0) cl < 0
+              else java.util.Arrays.compare(u8(a._1._2), u8(b._1._2)) < 0
+            }
+          }
+          val ((l, r), f) = counts.reduceLeft((a, b) => if (less(b, a)) b else a)
+          merges += Merge(rank, l, r, f)
+          mem = mem.map { case (syms, fr) => (applyMerge(syms, l, r), fr) }
+          rank += 1
+        }
+      }
+      return merges.result()
+    }
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
@@ -153,7 +204,8 @@ object BpeTrain {
     val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
     val nUdf = udf((text: String) => {
       if (text == null) 0L
-      else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+      else text.toLowerCase(java.util.Locale.ROOT) // locale-independent, the TextOps:261 precedent
+        .trim.split("\\s+").filter(_.nonEmpty)
         .map(w => pairs.foldLeft(charSyms(w)) { case (s, (l, r)) =>
           applyMerge(s, l, r) }.length.toLong)
         .sum

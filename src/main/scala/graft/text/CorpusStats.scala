@@ -434,7 +434,8 @@ object CorpusStats {
       scale: Long = 1000000L): DataFrame = {
     require(topK >= 1, s"need topK >= 1, got $topK")
     require(scale >= 1L, s"need scale >= 1, got $scale")
-    val terms = query.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val terms = query.trim.toLowerCase(java.util.Locale.ROOT) // locale-independent, the TextOps:261 precedent
+      .split("\\s+").filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "query has no terms")
     val documents = graft.core.SparkUtil.spread(documentsIn)
     val nDocs = documentsIn.count() // pre-spread: metadata-only on parquet

@@ -12,7 +12,8 @@ object TextHash extends Serializable {
 
   def tokens(text: String): Array[String] =
     if (text == null) Array.empty
-    else text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    else text.toLowerCase(java.util.Locale.ROOT) // locale-independent, the TextOps:261 precedent
+      .trim.split("\\s+").filter(_.nonEmpty)
 
   /** FNV-1a 64-bit. */
   def fnv(s: String): Long = {

@@ -77,7 +77,11 @@ class EventStreamSpec extends SparkSpec {
       (4L, 2L, "purchase", ts(400)),   // equal ts -> direct
       (5L, 2L, "purchase", ts(450)))   // gap 50 -> view
     val in = java.nio.file.Files.createTempDirectory("evs3").toString
-    Seq(rows.take(1), rows.drop(1)).foreach { part =>
+    Seq(rows.take(1), rows.drop(1)).zipWithIndex.foreach { case (part, i) =>
+      // distinct file mod-times so maxFilesPerTrigger=1 replays batch 1
+      // before batch 2 deterministically (ADVICE r5; same idiom as the
+      // cross-batch test above)
+      if (i > 0) Thread.sleep(1100)
       part.toDF("event_id", "user_id", "event_type", "ts")
         .coalesce(1).write.mode("append").parquet(in)
     }

@@ -66,6 +66,12 @@ class BpeTrainSpec extends SparkSpec {
     val got2 = BpeTrain.train(docs.repartition(7), nMerges = 25)
       .map(m => (m.left, m.right, m.freq))
     assert(got2 == want, "merge sequence must not depend on partitioning")
+    // the DISTRIBUTED rounds (cutoff 0 forces them) must produce the
+    // same sequence as the in-memory fast path the default cutoff takes
+    val gotDist = BpeTrain.train(docs, nMerges = 25, smallDictCutoff = 0L)
+      .map(m => (m.left, m.right, m.freq))
+    assert(gotDist == want,
+      "distributed rounds must equal the in-memory fast path")
   }
 
   test("initialPairCounts equals merge 1's candidate table") {
