@@ -1,7 +1,7 @@
 package graft.graph
 
 import graft.core._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Mapping graph construction and connected-component canonicalization.
@@ -58,26 +58,36 @@ object Components {
       if (alreadySymmetric) edges.select(col("src"), col("dst"))
       else edges.select(col("src"), col("dst"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val und = und0.distinct().localCheckpoint(true)
+    val undDistinct = und0.distinct()
 
     // Size-adaptive fast path: near-dup pair sets are a small fraction of
     // the corpus (the whole premise of pairs→CC→keep), so the edge list
     // frequently fits the driver even when the corpus never would. A
     // driver-side union-find replaces O(diameter) Spark rounds — each a
     // job + checkpoint of pure scheduler latency at these sizes — with
-    // one collect of the already-materialized checkpoint. Labels are
+    // ONE bounded take(cutoff+1): it doubles as the size gate (driver
+    // memory stays capped exactly as the old count() gate capped it) and,
+    // when the edge list is small, already holds every row — replacing
+    // the old checkpoint + count + collect THREE-job sequence (r6; at
+    // corpus scale the probe reads only enough post-shuffle partitions
+    // to exceed the cutoff, then the distributed path re-materializes
+    // the distinct once, as before). Labels are
     // IDENTICAL (min member id per component): long ids use numeric min;
     // string ids use UTF-8 binary (= code-point) min, which is exactly
     // the ordering of Spark's UTF8String.compareTo AND DuckDB's VARCHAR
     // comparison — NOT Java's String.compareTo, whose UTF-16 code-unit
     // order disagrees for supplementary characters, hence the explicit
-    // comparator. The count/collect read the checkpoint, not the
-    // upstream pair join.
-    val smallCutoff = 1000000L
-    val idType = und.schema("src").dataType
+    // comparator.
+    val smallCutoff = 1000000
+    val idType = undDistinct.schema("src").dataType
+    val probe: Array[Row] =
+      if (idType == org.apache.spark.sql.types.LongType ||
+          idType == org.apache.spark.sql.types.StringType)
+        undDistinct.take(smallCutoff + 1)
+      else Array.empty
     if (idType == org.apache.spark.sql.types.LongType &&
-        und.count() <= smallCutoff) {
-      val rows = und.collect()
+        probe.length <= smallCutoff) {
+      val rows = probe
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x0: Long): Long = {
         var x = x0
@@ -100,7 +110,7 @@ object Components {
       return srcNodes.map(nd => (nd, find(nd))).toSeq.toDF("node", "comp")
     }
     if (idType == org.apache.spark.sql.types.StringType &&
-        und.count() <= smallCutoff) {
+        probe.length <= smallCutoff) {
       // UTF-8 binary less-than: code-point comparison (equal prefixes
       // advance both cursors identically, so one shared index is safe)
       def u8Less(a: String, b: String): Boolean = {
@@ -113,7 +123,7 @@ object Components {
         }
         a.length < b.length
       }
-      val rows = und.collect()
+      val rows = probe
       val parent = scala.collection.mutable.HashMap.empty[String, String]
       def find(x0: String): String = {
         var x = x0
@@ -134,6 +144,10 @@ object Components {
       import spark.implicits._
       return srcNodes.map(nd => (nd, find(nd))).toSeq.toDF("node", "comp")
     }
+
+    // distributed path: the loop re-reads the edge set every round, so
+    // materialize it once (the probe above read at most cutoff+1 rows)
+    val und = undDistinct.localCheckpoint(true)
 
     // round 1 fused into initialization: label = min(self, direct
     // neighbors) — one job instead of init-checkpoint + first iteration

@@ -69,9 +69,9 @@ object MergeReconcile {
     * (reference `filter_redundant_rows`).
     */
   def filterRedundantRows(dfIn: DataFrame, ignorePredicate: Boolean = false): DataFrame = {
-    // consumed from three branches below (nonNull twice, nanRows once)
-    val df = materializeOnce(dfIn)
-    val (nonNull, nanRows, hadConf) = splitByConfidence(df)
+    val hadConf = hasCol(dfIn, Confidence)
+    // reference fills 0.0 when the column is absent (util.py:828-830)
+    val df = if (hadConf) dfIn else dfIn.withColumn(Confidence, lit(0.0))
     val key = if (ignorePredicate) Seq(SubjectId, ObjectId)
       else Seq(SubjectId, ObjectId, PredicateId)
 
@@ -81,16 +81,27 @@ object MergeReconcile {
     // head-entity mentions in the KG workload) floods a single task at
     // scale. groupBy(max) combines map-side and the join-back is an AQE
     // skew-splittable equi-join — same rows, skew-immune.
-    val maxes = nonNull.groupBy(key.map(col): _*)
+    //
+    // The null-confidence bypass is fused into the join-back (r6): max()
+    // skips nulls, so group maxes over ALL rows equal the old nonNull-side
+    // maxes, and a LEFT join + (conf IS NULL OR conf >= max) filter emits
+    // exactly the old kept ∪ nanRows — null-conf rows pass (their group
+    // max may even be null), non-null rows keep the group-max test, and
+    // rows whose key columns contain NULL fail the equi-join and the >=
+    // against a null max exactly as they failed the old inner join. This
+    // removes the isNull/isNotNull double scan of the input and both
+    // localCheckpoint barriers: each upstream subtree below is consumed
+    // from two plan branches, but the branches are canonically identical,
+    // so AQE's shuffle-stage reuse executes each exchange once (verified
+    // in the executed plan: ReusedQueryStage/ReusedExchange nodes).
+    val maxes = df.groupBy(key.map(col): _*)
       .agg(max(col(Confidence)).as("__max_conf"))
-    val kept = nonNull
-      .join(maxes, key)
-      .filter(col(Confidence) >= col("__max_conf"))
+    val confReconciled = df
+      .join(maxes, key, "left")
+      .filter(col(Confidence).isNull || col(Confidence) >= col("__max_conf"))
       .drop("__max_conf")
-      .select(nonNull.columns.map(col).toIndexedSeq: _*)
-
-    // consumed from two branches below (the group stats and the pick join)
-    val confReconciled = materializeOnce(kept.unionByName(nanRows).dropDuplicates())
+      .select(df.columns.map(col).toIndexedSeq: _*)
+      .dropDuplicates()
 
     // Equal-confidence multi-predicate group pick, fused into ONE
     // aggregation + ONE null-safe equi-join (replaces the groups agg +

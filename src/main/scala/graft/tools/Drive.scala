@@ -44,6 +44,18 @@ object Drive {
     if (sys.env.contains("DRIVE_1T")) { oneThreadProbe(); return }
     if (sys.env.contains("DRIVE_SAMPLING")) { samplingCheck(); return }
     if (sys.env.contains("DRIVE_QTIME")) { qtimeCheck(); return }
+    if (sys.env.contains("DRIVE_FINALPLAN")) {
+      // executes via the dataset's own QueryExecution (collect), so the
+      // printed plan is the AQE-final one incl. ReusedExchange/QueryStage
+      val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      val df = graft.SparkEntry.queries(sys.env("DRIVE_FINALPLAN"))(
+        s, sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1"))
+      val n = df.collect().length
+      val plan = df.queryExecution.executedPlan.toString
+      println(plan)
+      println(s"rows=$n scans=${"(?m)^\\s*[+:]?-? *\\**\\(?\\d*\\)? *(?:Reused)?Exchange".r.findAllIn(plan).length}")
+      s.stop(); return
+    }
     if (sys.env.contains("DRIVE_EXPLAIN")) {
       val s = session(4)
       println(graft.SparkEntry.queries(sys.env("DRIVE_EXPLAIN"))(
