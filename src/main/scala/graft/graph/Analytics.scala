@@ -100,22 +100,216 @@ object Analytics {
     *
     * @return (node, n_triangles) for nodes in at least one triangle.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val canon = canonicalize(edges)
-    triangleCountsFromCanon(canon, degOf(canon).localCheckpoint(true))
+  def triangleCounts(edges: DataFrame,
+      localCutoff: Int = SmallGraphCutoff): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    smallCanon(canonicalizeRaw(edges), localCutoff) match {
+      case Some(es) =>
+        localTriangles(es).filter(_._2 > 0L)
+          .toDF("node", "n_triangles")
+      case None =>
+        val canon = canonicalizeRaw(edges).localCheckpoint(true)
+        triangleCountsFromCanon(canon, degOf(canon).localCheckpoint(true))
+    }
+  }
+
+  /** Size-adaptive driver fast path shared by the triangle / clustering /
+    * k-core kernels, the [[Components.connectedComponents]] precedent: a
+    * bounded take(cutoff+1) doubles as the size gate and, when the
+    * canonical edge list fits the driver, already holds every row — the
+    * iterative/multi-join distributed kernels collapse to one in-memory
+    * pass with zero additional jobs. Results are IDENTICAL by
+    * construction: per-node triangle membership counts, the k-core and
+    * its internal degrees are graph INVARIANTS (independent of
+    * enumeration order), and the local kernels reproduce the same
+    * integer arithmetic (floor division, long credit sums). Long node
+    * ids only; other id types and larger graphs take the distributed
+    * path unchanged. Cutoff sizing: 2 M canonical edges ≈ 32 MB of probe
+    * rows — driver-sized (under default maxResultSize by 30×), and the
+    * edge-iterator work below it is bounded by Σ min-out-deg ≤ |E|·√|E|
+    * single-threaded ops, seconds at the cutoff — the same order as the
+    * distributed kernel's latency floor on a graph that small.
+    */
+  private[graph] val SmallGraphCutoff = 2000000
+
+  private def smallCanon(canonRaw: DataFrame,
+      cutoff: Int): Option[Array[(Long, Long)]] = {
+    if (cutoff <= 0) return None
+    if (canonRaw.schema("a").dataType !=
+        org.apache.spark.sql.types.LongType) return None
+    val probe = canonRaw.take(cutoff + 1)
+    if (probe.length <= cutoff)
+      Some(probe.map(r => (r.getLong(0), r.getLong(1))))
+    else None
+  }
+
+  /** Dense-index view of a canonical edge array: node ids remapped to
+    * [0, n) ints, edges as parallel int arrays, degrees as an int array —
+    * the local kernels below run on primitive arrays (no per-op boxing;
+    * the HashMap is touched once per endpoint during indexing only).
+    */
+  private final class DenseGraph(es: Array[(Long, Long)]) {
+    val index = new java.util.HashMap[Long, Integer]()
+    private val idBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private def idOf(x: Long): Int = {
+      val got = index.get(x)
+      if (got != null) got.intValue()
+      else { val i = idBuf.length; index.put(x, i); idBuf += x; i }
+    }
+    val m: Int = es.length
+    val ea = new Array[Int](m)
+    val eb = new Array[Int](m)
+    locally {
+      var e = 0
+      while (e < m) {
+        ea(e) = idOf(es(e)._1); eb(e) = idOf(es(e)._2); e += 1
+      }
+    }
+    val ids: Array[Long] = idBuf.toArray
+    val n: Int = ids.length
+    val deg: Array[Int] = {
+      val d = new Array[Int](n)
+      var e = 0
+      while (e < m) { d(ea(e)) += 1; d(eb(e)) += 1; e += 1 }
+      d
+    }
+  }
+
+  /** Open-addressing accumulator over packed long pair keys (0 = empty
+    * sentinel): per key a wedge count and an RA-contribution sum, plus an
+    * edge marker that excludes already-adjacent pairs from the output.
+    * Linear probing, power-of-two capacity, grow at 70% load — all
+    * primitive arrays, no boxing on the hot add path.
+    */
+  private final class LongPairAgg(expected: Int) {
+    private var cap = Integer.highestOneBit(
+      math.max(16, expected) - 1) << 2 // ≥ 2× expected, power of two
+    private var keys = new Array[Long](cap)
+    private var cns = new Array[Long](cap)
+    private var ras = new Array[Long](cap)
+    private var edge = new Array[Boolean](cap)
+    private var size = 0
+    private def slot(k: Long): Int = {
+      val h = k * -7046029254386353131L
+      var i = (h ^ (h >>> 32)).toInt & (cap - 1)
+      while (keys(i) != 0L && keys(i) != k) i = (i + 1) & (cap - 1)
+      i
+    }
+    private def grow(): Unit = {
+      val ok = keys; val oc = cns; val or = ras; val oe = edge
+      cap <<= 1
+      keys = new Array[Long](cap); cns = new Array[Long](cap)
+      ras = new Array[Long](cap); edge = new Array[Boolean](cap)
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != 0L) {
+          val s = slot(ok(i))
+          keys(s) = ok(i); cns(s) = oc(i); ras(s) = or(i); edge(s) = oe(i)
+        }
+        i += 1
+      }
+    }
+    def add(k: Long, rc: Long): Unit = {
+      val i = slot(k)
+      if (keys(i) == 0L) {
+        keys(i) = k; size += 1
+        if (size.toLong * 10L >= cap.toLong * 7L) grow()
+      }
+      val j = if (keys(i) == k) i else slot(k) // re-locate after a grow
+      cns(j) += 1L; ras(j) += rc
+    }
+    def markEdge(k: Long): Unit = {
+      val i = slot(k)
+      if (keys(i) == 0L) { keys(i) = k; size += 1 } // edge with no wedge
+      edge(i) = true
+      if (size.toLong * 10L >= cap.toLong * 7L) grow()
+    }
+    /** Pairs with at least one wedge that are NOT existing edges. */
+    def foreachPair(f: (Long, Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < cap) {
+        if (keys(i) != 0L && !edge(i) && cns(i) > 0L) f(keys(i), cns(i), ras(i))
+        i += 1
+      }
+    }
+  }
+
+  /** Edge-iterator triangle credit counts over a canonical edge array:
+    * orient low→high by (deg, id), intersect sorted out-neighbor arrays
+    * per oriented edge, credit all three corners — the same enumeration
+    * contract as [[triangleCountsFromCanon]] (each triangle found at its
+    * unique out-degree-2 corner). CSR adjacency over dense ints.
+    */
+  private def localTriangles(es: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val g = new DenseGraph(es)
+    import g._
+    // orientation: lower (deg, ORIGINAL id) endpoint keeps the edge
+    def lowFirst(e: Int): Boolean = {
+      val da = deg(ea(e)); val db = deg(eb(e))
+      da < db || (da == db && ids(ea(e)) < ids(eb(e)))
+    }
+    // CSR out-adjacency of the oriented graph
+    val outDeg = new Array[Int](n)
+    var e = 0
+    while (e < m) {
+      if (lowFirst(e)) outDeg(ea(e)) += 1 else outDeg(eb(e)) += 1
+      e += 1
+    }
+    val start = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { start(i + 1) = start(i) + outDeg(i); i += 1 }
+    val nbr = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(start, n)
+    e = 0
+    while (e < m) {
+      val (u, v) = if (lowFirst(e)) (ea(e), eb(e)) else (eb(e), ea(e))
+      nbr(fill(u)) = v; fill(u) += 1
+      e += 1
+    }
+    i = 0
+    while (i < n) { // sorted segments → two-pointer set intersection
+      java.util.Arrays.sort(nbr, start(i), start(i + 1))
+      i += 1
+    }
+    val cnt = new Array[Long](n)
+    var u = 0
+    while (u < n) {
+      var p = start(u)
+      while (p < start(u + 1)) {
+        val v = nbr(p)
+        var a = start(u); var b = start(v); var c = 0L
+        val ae = start(u + 1); val be = start(v + 1)
+        while (a < ae && b < be) {
+          if (nbr(a) < nbr(b)) a += 1
+          else if (nbr(a) > nbr(b)) b += 1
+          else { cnt(nbr(a)) += 1L; c += 1L; a += 1; b += 1 }
+        }
+        if (c > 0L) { cnt(u) += c; cnt(v) += c }
+        p += 1
+      }
+      u += 1
+    }
+    (0 until n).iterator.map(i => (ids(i), cnt(i))).toSeq
   }
 
   /** Canonical undirected simple-graph form: (a < b), deduplicated,
-    * self-loops dropped; eagerly checkpointed (every caller consumes it
-    * from at least two plan branches and Catalyst has no cross-branch
-    * CSE).
+    * self-loops dropped (not yet materialized — callers checkpoint when
+    * taking the distributed path, and the driver fast path reads it
+    * exactly once via its bounded probe).
     */
-  private def canonicalize(edges: DataFrame): DataFrame = edges
+  private def canonicalizeRaw(edges: DataFrame): DataFrame = edges
     .select(least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b"))
     .filter(col("a") =!= col("b"))
     .distinct()
-    .localCheckpoint(true)
+
+  /** Canonical form, eagerly checkpointed (every distributed-path caller
+    * consumes it from at least two plan branches and Catalyst has no
+    * cross-branch CSE).
+    */
+  private def canonicalize(edges: DataFrame): DataFrame =
+    canonicalizeRaw(edges).localCheckpoint(true)
 
   /** Total degree per node over the canonical simple graph (both ends
     * in ONE explode pass — a self-union reads the input twice).
@@ -201,19 +395,38 @@ object Analytics {
     *
     * @return (node, deg, n_triangles, cc_pm) for nodes with deg ≥ 2.
     */
-  def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    // ONE canonicalization + ONE degree aggregation shared with the
-    // triangle kernel (the former composition re-distinct'd the already-
-    // canonical edges into a second checkpoint and re-ran the degree agg)
-    val canon = canonicalize(edges)
-    val deg = degOf(canon).localCheckpoint(true)
-    val tri = triangleCountsFromCanon(canon, deg)
-    deg.filter(col("deg") >= 2L)
-      .join(tri, Seq("node"), "left_outer")
-      .select(col("node"), col("deg"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        expr("(2000 * coalesce(n_triangles, 0)) div (deg * (deg - 1))")
-          .as("cc_pm"))
+  def clusteringCoefficient(edges: DataFrame,
+      localCutoff: Int = SmallGraphCutoff): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    smallCanon(canonicalizeRaw(edges), localCutoff) match {
+      case Some(es) =>
+        val deg = scala.collection.mutable.HashMap.empty[Long, Long]
+        es.foreach { case (a, b) =>
+          deg.update(a, deg.getOrElse(a, 0L) + 1L)
+          deg.update(b, deg.getOrElse(b, 0L) + 1L)
+        }
+        val tri = localTriangles(es).toMap
+        deg.toSeq.filter(_._2 >= 2L).map { case (n, d) =>
+          val t = tri.getOrElse(n, 0L)
+          // same integer permille floor as the SQL `div` (operands >= 0)
+          (n, d, t, (2000L * t) / (d * (d - 1L)))
+        }.toDF("node", "deg", "n_triangles", "cc_pm")
+      case None =>
+        // ONE canonicalization + ONE degree aggregation shared with the
+        // triangle kernel (the former composition re-distinct'd the
+        // already-canonical edges into a second checkpoint and re-ran the
+        // degree agg)
+        val canon = canonicalize(edges)
+        val deg = degOf(canon).localCheckpoint(true)
+        val tri = triangleCountsFromCanon(canon, deg)
+        deg.filter(col("deg") >= 2L)
+          .join(tri, Seq("node"), "left_outer")
+          .select(col("node"), col("deg"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+            expr("(2000 * coalesce(n_triangles, 0)) div (deg * (deg - 1))")
+              .as("cc_pm"))
+    }
   }
 
   /** k-core decomposition (fixed k): the maximal subgraph in which every
@@ -242,10 +455,55 @@ object Analytics {
     * @return (node, core_deg): the k-core's nodes with their degree
     *         INSIDE the core (all ≥ k by definition).
     */
-  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 10): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 10,
+      localCutoff: Int = SmallGraphCutoff): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
     require(maxRounds >= 1 && maxRounds <= 64,
       s"maxRounds out of range: $maxRounds")
+    smallCanon(canonicalizeRaw(edges), localCutoff).foreach { es0 =>
+      // driver fast path: SYNCHRONOUS peel rounds — the same round
+      // structure as the distributed loop below, so the fail-loud
+      // maxRounds guard fires on exactly the same inputs; the converged
+      // core and its internal degrees are graph invariants either way
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val g = new DenseGraph(es0)
+      val deg = g.deg.clone()
+      val ea = g.ea; val eb = g.eb
+      var m = g.m // live-edge prefix length after each compaction
+      var round = 0
+      var anyUnder = deg.exists(d => d > 0 && d < k)
+      while (anyUnder) {
+        round += 1
+        if (round > maxRounds)
+          throw new IllegalStateException(
+            s"k-core peeling did not converge in $maxRounds rounds — raise " +
+              "maxRounds (and unroll the oracle to match)")
+        // synchronous round: drop every edge touching an under-k node,
+        // recompute degrees over the survivors (in-place compaction)
+        var w = 0
+        var e = 0
+        while (e < m) {
+          if (deg(ea(e)) >= k && deg(eb(e)) >= k) {
+            ea(w) = ea(e); eb(w) = eb(e); w += 1
+          }
+          e += 1
+        }
+        m = w
+        java.util.Arrays.fill(deg, 0)
+        e = 0
+        while (e < m) { deg(ea(e)) += 1; deg(eb(e)) += 1; e += 1 }
+        anyUnder = false
+        var i = 0
+        while (i < deg.length && !anyUnder) {
+          if (deg(i) > 0 && deg(i) < k) anyUnder = true
+          i += 1
+        }
+      }
+      return (0 until g.n).iterator.collect {
+        case i if deg(i) > 0 => (g.ids(i), deg(i).toLong)
+      }.toSeq.toDF("node", "core_deg")
+    }
     // per-round degree table: NODE-sized (checkpointed once per round so
     // the two semi-joins below never re-run the aggregation) — survivors
     // are a small build side AQE turns into broadcast semi-joins, so the
@@ -329,8 +587,85 @@ object Analytics {
     *         (the cap drops hub pivots, it does not re-shape the graph).
     */
   def linkPredict(edges: DataFrame, minCommon: Long = 2L,
-      minJaccardPm: Long = 0L, maxPivotDeg: Int = 0): DataFrame = {
+      minJaccardPm: Long = 0L, maxPivotDeg: Int = 0,
+      localCutoff: Int = SmallGraphCutoff): DataFrame = {
     require(minCommon >= 1L, s"need minCommon >= 1, got $minCommon")
+    smallCanon(canonicalizeRaw(edges), localCutoff).foreach { es =>
+      val g = new DenseGraph(es)
+      // wedge volume is Σ C(deg, 2), NOT bounded by the edge cutoff (one
+      // hub explodes it) — size it first and keep the driver pass only
+      // when the enumeration is trivially small; the distributed kernel
+      // (and its maxPivotDeg dial) handles everything else
+      val wedgeVol = g.deg.foldLeft(0L) { (s, d) =>
+        val dd = if (maxPivotDeg > 0 && d > maxPivotDeg) 0L else d.toLong
+        s + dd * (dd - 1L) / 2L
+      }
+      if (wedgeVol <= 200000000L) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        // CSR adjacency sorted by ORIGINAL id (pair keys compare long ids)
+        val start = new Array[Int](g.n + 1)
+        var i = 0
+        while (i < g.n) { start(i + 1) = start(i) + g.deg(i); i += 1 }
+        val nbr = new Array[Int](2 * g.m)
+        val fill = java.util.Arrays.copyOf(start, g.n)
+        var e = 0
+        while (e < g.m) {
+          nbr(fill(g.ea(e))) = g.eb(e); fill(g.ea(e)) += 1
+          nbr(fill(g.eb(e))) = g.ea(e); fill(g.eb(e)) += 1
+          e += 1
+        }
+        i = 0
+        while (i < g.n) {
+          // sort each segment by original node id (Long order)
+          val seg = nbr.slice(start(i), start(i + 1))
+            .sortBy(j => g.ids(j))
+          System.arraycopy(seg, 0, nbr, start(i), seg.length)
+          i += 1
+        }
+        // primitive open-addressing (key → cn, ra) accumulator — a boxed
+        // java HashMap here cost ~1.4 µs/wedge in allocation+boxing, 15×
+        // the arithmetic it wraps (measured; the wedge loop dominates the
+        // fast path). Key = (denseA << 32) | denseB with a < b by original
+        // id; key 0 is impossible (a pair never has both dense ids 0), so
+        // 0 is the empty sentinel.
+        val acc = new LongPairAgg(math.max(1024, g.m))
+        var z = 0
+        while (z < g.n) {
+          val d = g.deg(z)
+          if (maxPivotDeg <= 0 || d <= maxPivotDeg) {
+            val rc = 1000L / d // deg >= 1 for every indexed node
+            var p = start(z)
+            while (p < start(z + 1)) {
+              var q = p + 1
+              while (q < start(z + 1)) {
+                acc.add((nbr(p).toLong << 32) | nbr(q).toLong, rc)
+                q += 1
+              }
+              p += 1
+            }
+          }
+          z += 1
+        }
+        // mark existing edges so prediction keeps only non-adjacent pairs
+        e = 0
+        while (e < g.m) {
+          // canonical pairs already have ids(ea) < ids(eb)
+          acc.markEdge((g.ea(e).toLong << 32) | g.eb(e).toLong); e += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, Long)]
+        acc.foreachPair { (key, cn, ra) =>
+          val ia = (key >> 32).toInt; val ib = (key & 0xffffffffL).toInt
+          val uni = g.deg(ia).toLong + g.deg(ib).toLong - cn
+          val jac = cn * 1000L / uni
+          if (cn >= minCommon && jac >= minJaccardPm)
+            out += ((g.ids(ia), g.ids(ib), cn, uni, jac, ra))
+        }
+        return out.toSeq
+          .toDF("a", "b", "cn", "uni", "jaccard_pm", "ra_pm")
+      }
+    }
     val canon = canonicalize(edges)
     val nbr = canon.select(col("a").as("node"), col("b").as("nbr"))
       .union(canon.select(col("b").as("node"), col("a").as("nbr")))

@@ -78,30 +78,33 @@ object Curation {
       jaccardThreshold: Double = 0.5, scaleArms: Boolean = false): DataFrame = {
     val corpus = SparkUtil.spread(corpusIn).select(col("doc_id"), col("text"))
 
+    // stages 1–3 — fingerprint + Gopher lexical keep + repetition keep in
+    // ONE map pass over the text (r6; was three separate passes joined on
+    // doc_id — guide §2.4, remove shuffles outright): the streaming
+    // column kernels (`gopherKeepCol`/`repetitionKeepCol`, batch-parity
+    // tested) are each referenced once, so each UDF evaluates once per
+    // row. Checkpointed EXPLICITLY — the rep aggregation and the
+    // join-back both consume it, a Project-only plan is invisible to
+    // materializeOnce's heuristic, and without a boundary the three
+    // kernels would re-run per branch. The checkpoint row is ~50 B
+    // (id, md5, two booleans), never the text.
+    val flags = corpus.select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.gopherKeepCol(col("text"), minWords, maxWords,
+          minStopHits.toInt).as("q_keep"),
+        TextOps.repetitionKeepCol(col("text")).as("r_keep"))
+      .localCheckpoint(eager = true)
     // stage 1 — exact duplicates: min doc_id per fingerprint; the shuffle
     // carries (md5, doc_id), never the text (fingerprint equality ≡
     // normalized-text equality, same argument as Dedup.exact's oracle)
-    val fpr = corpus.select(col("doc_id"),
-      TextOps.fingerprint(col("text")).as("fp"))
-    val reps = fpr.groupBy("fp").agg(min("doc_id").as("rep_id"))
-
-    // stages 2–3 — per-document kernels (shuffle-free map passes)
-    val gq = TextOps.gopherQuality(corpus, minWords, maxWords)
-      .select(col("doc_id"),
-        (col("n_words") >= minWords && col("n_words") <= maxWords &&
-          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
-          col("frac_alpha") >= 0.8 && col("symbol_ratio") <= 0.1 &&
-          col("stop_hits") >= minStopHits).as("q_keep"))
-    val rp = TextOps.repetitionMetrics(corpus)
-      .select(col("doc_id"), col("keep").as("r_keep"))
+    val reps = flags.groupBy("fp").agg(min("doc_id").as("rep_id"))
 
     // stage 4 — benchmark decontamination (broadcast shingle probe)
     val cont = Dedup.decontaminate(corpus, benchmark, decontamK)
       .select(col("doc_id"), lit(true).as("contaminated"))
 
     val pre = SparkUtil.materializeOnce(
-      fpr.join(reps, "fp")
-        .join(gq, "doc_id").join(rp, "doc_id")
+      flags.join(reps, "fp")
         .join(cont, Seq("doc_id"), "left")
         .select(col("doc_id"), col("rep_id"), col("q_keep"), col("r_keep"),
           coalesce(col("contaminated"), lit(false)).as("contaminated")))

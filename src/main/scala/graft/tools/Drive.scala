@@ -44,6 +44,36 @@ object Drive {
     if (sys.env.contains("DRIVE_1T")) { oneThreadProbe(); return }
     if (sys.env.contains("DRIVE_SAMPLING")) { samplingCheck(); return }
     if (sys.env.contains("DRIVE_QTIME")) { qtimeCheck(); return }
+    if (sys.env.contains("DRIVE_LPPROBE")) {
+      val s = session(32)
+      val dir = sys.env.getOrElse("DRIVE_SF", "/root/testdata/sf0.1")
+      import org.apache.spark.sql.functions._
+      val li0 = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_partkey") % 5 === 0)
+      val pairs = li0.groupBy("l_orderkey")
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS src, y AS dst))))")).as("p"))
+        .select(col("p.src"), col("p.dst"))
+      val canon = pairs.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      for (pass <- 1 to 3) {
+        var t0 = System.nanoTime()
+        val probe = canon.take(2000001)
+        println(f"[$pass] take: ${(System.nanoTime()-t0)/1e9}%.3f s, rows=${probe.length}")
+        t0 = System.nanoTime()
+        val out = graft.graph.Analytics.linkPredict(pairs, minCommon = 2L)
+        println(f"[$pass] linkPredict build (incl fast path): ${(System.nanoTime()-t0)/1e9}%.3f s")
+        t0 = System.nanoTime()
+        println(s"[$pass] rows=${out.count()}")
+        println(f"[$pass] count: ${(System.nanoTime()-t0)/1e9}%.3f s")
+      }
+      s.stop(); return
+    }
     if (sys.env.contains("DRIVE_FINALPLAN")) {
       // executes via the dataset's own QueryExecution (collect), so the
       // printed plan is the AQE-final one incl. ReusedExchange/QueryStage

@@ -245,6 +245,50 @@ class AnalyticsSpec extends SparkSpec {
     assert(a.values.forall(_ >= 6L))
   }
 
+  test("driver fast path equals the distributed kernels bit-for-bit " +
+      "(triangles, clustering coefficient, k-core)") {
+    // localCutoff = 0 forces the distributed path on the same input; the
+    // default cutoff takes the driver fast path — outputs must be equal
+    // as maps (graph invariants, so no ordering caveats)
+    val edges = seededEdges(80, 10, seed = 0x5eedL)
+    val edf = (edges ++ edges.map(_.swap)).toDF("src", "dst") // uncanonical
+    val triFast = Analytics.triangleCounts(edf)
+      .as[(Long, Long)].collect().toMap
+    val triDist = Analytics.triangleCounts(edf, localCutoff = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(triFast == triDist)
+    assert(triFast.nonEmpty)
+    val ccFast = Analytics.clusteringCoefficient(edf)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val ccDist = Analytics.clusteringCoefficient(edf, localCutoff = 0)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(ccFast == ccDist)
+    val kcFast = Analytics.kCore(edf, k = 5)
+      .as[(Long, Long)].collect().toMap
+    val kcDist = Analytics.kCore(edf, k = 5, localCutoff = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(kcFast == kcDist)
+    val lpFast = Analytics.linkPredict(edf, minCommon = 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val lpDist = Analytics.linkPredict(edf, minCommon = 2L, localCutoff = 0)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(lpFast == lpDist)
+    assert(lpFast.nonEmpty)
+    // pivot-cap arm agrees across paths too
+    val lpcFast = Analytics.linkPredict(edf, minCommon = 1L, maxPivotDeg = 6)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val lpcDist = Analytics.linkPredict(edf, minCommon = 1L, maxPivotDeg = 6,
+        localCutoff = 0)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(lpcFast == lpcDist)
+    // fail-loud guard fires identically on the fast path
+    val long = (1L to 12L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("src", "dst")
+    intercept[IllegalStateException] {
+      Analytics.kCore(long, k = 2, maxRounds = 1).collect()
+    }
+  }
+
   test("kCore: empty core and fail-loud non-convergence guard") {
     // a path graph has no 2-core
     val path = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq
