@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over KG edge tables (beyond-reference tier).
@@ -54,8 +54,68 @@ object Analytics {
     * @return (node, dist) for every node within maxHops of a seed.
     */
   def bfsDistances(edges: DataFrame, sources: DataFrame,
-      maxHops: Int): DataFrame = {
+      maxHops: Int, localCutoff: Int = SmallGraphCutoff): DataFrame = {
     require(maxHops >= 0 && maxHops <= 32, s"maxHops out of range: $maxHops")
+    localRankProbe(edges, localCutoff).foreach { case (ix, ea, eb) =>
+      val seedRows = sources.select(col("node")).distinct().take(localCutoff + 1)
+      if (seedRows.length <= localCutoff) {
+        // min-hop distances are graph invariants — frontier order cannot
+        // change them; seeds outside the edge universe still emit dist 0
+        // exactly like the distributed visited set
+        val dist = new Array[Long](ix.n)
+        java.util.Arrays.fill(dist, -1L)
+        val extraSeeds = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var queue = scala.collection.mutable.ArrayBuffer.empty[Int]
+        seedRows.foreach { r =>
+          val got = ix.index.get(r.get(0))
+          if (got != null) { dist(got.intValue()) = 0L; queue += got.intValue() }
+          else extraSeeds += r.get(0)
+        }
+        // CSR over both directions
+        val degC = new Array[Int](ix.n)
+        var e = 0
+        while (e < ea.length) { degC(ea(e)) += 1; degC(eb(e)) += 1; e += 1 }
+        val start = new Array[Int](ix.n + 1)
+        var i = 0
+        while (i < ix.n) { start(i + 1) = start(i) + degC(i); i += 1 }
+        val nbr = new Array[Int](2 * ea.length)
+        val fill = java.util.Arrays.copyOf(start, ix.n)
+        e = 0
+        while (e < ea.length) {
+          nbr(fill(ea(e))) = eb(e); fill(ea(e)) += 1
+          nbr(fill(eb(e))) = ea(e); fill(eb(e)) += 1
+          e += 1
+        }
+        var hop = 1L
+        while (queue.nonEmpty && hop <= maxHops) {
+          val next = scala.collection.mutable.ArrayBuffer.empty[Int]
+          queue.foreach { u =>
+            var p = start(u)
+            while (p < start(u + 1)) {
+              val v = nbr(p)
+              if (dist(v) < 0L) { dist(v) = hop; next += v }
+              p += 1
+            }
+          }
+          queue = next
+          hop += 1L
+        }
+        import org.apache.spark.sql.types._
+        val idType = edges.schema("src").dataType
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+        i = 0
+        while (i < ix.n) {
+          if (dist(i) >= 0L)
+            rows.add(org.apache.spark.sql.Row(ix.ids(i), dist(i)))
+          i += 1
+        }
+        extraSeeds.foreach(s =>
+          rows.add(org.apache.spark.sql.Row(s, 0L)))
+        return edges.sparkSession.createDataFrame(rows,
+          StructType(Seq(StructField("node", idType),
+            StructField("dist", LongType))))
+      }
+    }
     // both directions in one explode pass (a self-union would re-run the
     // upstream edge derivation once per branch)
     val und = edges.select(explode(array(
@@ -175,6 +235,53 @@ object Analytics {
       d
     }
   }
+
+  /** Generic dense indexer for the id-type-agnostic local kernels
+    * (PageRank / PPR / BFS / label propagation run over string OR long
+    * ids): ids map to [0, n) ints once; all iteration state lives in
+    * primitive arrays. Kernel outputs are exact integer recurrences
+    * (long sums are order-free), so the local results are bit-identical
+    * to the distributed ones.
+    */
+  private final class AnyIds {
+    val index = new java.util.HashMap[Any, Integer]()
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def idOf(x: Any): Int = {
+      val got = index.get(x)
+      if (got != null) got.intValue()
+      else { val i = ids.length; index.put(x, i); ids += x; i }
+    }
+    def n: Int = ids.length
+  }
+
+  /** UTF-8 binary (code-point) less-than — Spark's UTF8String and
+    * DuckDB's VARCHAR ordering; Java String.compareTo disagrees on
+    * supplementary characters (the Components comparator, shared here
+    * for the label-propagation min-label tie-break).
+    */
+  private def u8Less(a: String, b: String): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(i)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+    }
+    a.length < b.length
+  }
+
+  /** Id ordering used by the local kernels: numeric for longs, UTF-8
+    * binary for strings (matches Spark's own `<`/min over these types).
+    */
+  private def idLess(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)     => x < y
+    case (x: String, y: String) => u8Less(x, y)
+    case _ => throw new IllegalStateException("unsupported id type")
+  }
+
+  private def idTypeSupported(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.StringType
 
   /** Open-addressing accumulator over packed long pair keys (0 = empty
     * sentinel): per key a wedge count and an RA-contribution sum, plus an
@@ -733,8 +840,82 @@ object Analytics {
     *
     * @return (node, label) after exactly `rounds` synchronous rounds.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      localCutoff: Int = SmallGraphCutoff): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds out of range: $rounds")
+    if (localCutoff > 0 && idTypeSupported(edges.schema("src").dataType)) {
+      val probe = canonicalizeRaw(edges).take(localCutoff + 1)
+      if (probe.length <= localCutoff) {
+        // synchronous rounds over the canonical simple graph; the pick
+        // per node is (max neighbor-label count, min label) — the min
+        // label under Spark's own ordering (numeric / UTF-8 binary),
+        // deterministic, so rounds replay bit-identically
+        val ix = new AnyIds
+        val ea = new Array[Int](probe.length)
+        val eb = new Array[Int](probe.length)
+        var i = 0
+        while (i < probe.length) {
+          ea(i) = ix.idOf(probe(i).get(0)); eb(i) = ix.idOf(probe(i).get(1))
+          i += 1
+        }
+        val n = ix.n
+        val degC = new Array[Int](n)
+        var e = 0
+        while (e < ea.length) { degC(ea(e)) += 1; degC(eb(e)) += 1; e += 1 }
+        val start = new Array[Int](n + 1)
+        i = 0
+        while (i < n) { start(i + 1) = start(i) + degC(i); i += 1 }
+        val nbr = new Array[Int](2 * ea.length)
+        val fill = java.util.Arrays.copyOf(start, n)
+        e = 0
+        while (e < ea.length) {
+          nbr(fill(ea(e))) = eb(e); fill(ea(e)) += 1
+          nbr(fill(eb(e))) = ea(e); fill(eb(e)) += 1
+          e += 1
+        }
+        var labels = Array.tabulate(n)(identity) // own id
+        for (_ <- 1 to rounds) {
+          val next = new Array[Int](n)
+          val cnt = new java.util.HashMap[Integer, Integer]()
+          var u = 0
+          while (u < n) {
+            cnt.clear()
+            var p = start(u)
+            while (p < start(u + 1)) {
+              val l = labels(nbr(p))
+              val c = cnt.get(l)
+              cnt.put(l, if (c == null) 1 else c.intValue() + 1)
+              p += 1
+            }
+            // (max count, min label by id order)
+            var bestLbl = -1
+            var bestCnt = 0
+            val it = cnt.entrySet().iterator()
+            while (it.hasNext) {
+              val en = it.next()
+              val l = en.getKey.intValue(); val c = en.getValue.intValue()
+              if (c > bestCnt || (c == bestCnt &&
+                  (bestLbl < 0 || idLess(ix.ids(l), ix.ids(bestLbl)))))
+                { bestCnt = c; bestLbl = l }
+            }
+            next(u) = bestLbl // every canonical-graph node has >= 1 nbr
+            u += 1
+          }
+          labels = next
+        }
+        import org.apache.spark.sql.types._
+        val idType = edges.schema("src").dataType
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](n)
+        i = 0
+        while (i < n) {
+          rows.add(org.apache.spark.sql.Row(ix.ids(i), ix.ids(labels(i))))
+          i += 1
+        }
+        return edges.sparkSession.createDataFrame(rows,
+          StructType(Seq(StructField("node", idType),
+            StructField("label", idType))))
+      }
+    }
     val canon = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -860,9 +1041,96 @@ object Analytics {
     * @param seeds (node) — rows whose node ids get teleport mass; ids
     *              absent from the edge universe are ignored.
     */
+  /** Probe for the rank-family fast paths: the DIRECTED edge list with
+    * multiplicity (parallel edges contribute per occurrence, exactly as
+    * the distributed join does). Returns (indexer, srcIdx, dstIdx).
+    */
+  private def localRankProbe(edges: DataFrame,
+      cutoff: Int): Option[(AnyIds, Array[Int], Array[Int])] = {
+    if (cutoff <= 0) return None
+    if (!idTypeSupported(edges.schema("src").dataType)) return None
+    val probe = edges.select(col("src"), col("dst")).take(cutoff + 1)
+    if (probe.length > cutoff) return None
+    val ix = new AnyIds
+    val ea = new Array[Int](probe.length)
+    val eb = new Array[Int](probe.length)
+    var i = 0
+    while (i < probe.length) {
+      ea(i) = ix.idOf(probe(i).get(0)); eb(i) = ix.idOf(probe(i).get(1))
+      i += 1
+    }
+    Some((ix, ea, eb))
+  }
+
+  /** The exact integer PageRank recurrence on dense arrays. With
+    * `seedMask == null` every node is seeded (global fixed-point PR);
+    * otherwise only masked nodes carry teleport mass (PPR). Long sums
+    * are order-independent, so this is bit-identical to the
+    * distributed recurrence.
+    */
+  private def localRank(n: Int, ea: Array[Int], eb: Array[Int],
+      iters: Int, scale: Long, seedMask: Array[Boolean]): Array[Long] = {
+    val outDeg = new Array[Long](n)
+    var e = 0
+    while (e < ea.length) { outDeg(ea(e)) += 1L; e += 1 }
+    val base = scale * 15L / 100L
+    var rank = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      rank(i) = if (seedMask == null || seedMask(i)) scale else 0L
+      i += 1
+    }
+    for (_ <- 1 to iters) {
+      val inMass = new Array[Long](n)
+      e = 0
+      while (e < ea.length) {
+        inMass(eb(e)) += rank(ea(e)) / outDeg(ea(e)); e += 1
+      }
+      val next = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val b = if (seedMask == null || seedMask(i)) base else 0L
+        next(i) = b + inMass(i) * 85L / 100L
+        i += 1
+      }
+      rank = next
+    }
+    rank
+  }
+
+  /** (id, long) result frame with the input's id type. */
+  private def localIdValueDf(spark: SparkSession, ix: AnyIds,
+      vals: Array[Long], idType: org.apache.spark.sql.types.DataType,
+      idName: String, valName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](ix.n)
+    var i = 0
+    while (i < ix.n) {
+      rows.add(org.apache.spark.sql.Row(ix.ids(i), vals(i))); i += 1
+    }
+    spark.createDataFrame(rows,
+      StructType(Seq(StructField(idName, idType), StructField(valName, LongType))))
+  }
+
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int = 10, scale: Long = 1000000000L): DataFrame = {
+      iters: Int = 10, scale: Long = 1000000000L,
+      localCutoff: Int = SmallGraphCutoff): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    localRankProbe(edges, localCutoff).foreach { case (ix, ea, eb) =>
+      // seed rows outside the edge-derived universe are ignored, exactly
+      // like the distributed left join onto the node frame
+      val seedRows = seeds.select(col("node")).distinct().take(localCutoff + 1)
+      if (seedRows.length <= localCutoff) {
+        val mask = new Array[Boolean](ix.n)
+        seedRows.foreach { r =>
+          val got = ix.index.get(r.get(0))
+          if (got != null) mask(got.intValue()) = true
+        }
+        val ranks = localRank(ix.n, ea, eb, iters, scale, mask)
+        return localIdValueDf(edges.sparkSession, ix, ranks,
+          edges.schema("src").dataType, "node", "rank")
+      }
+    }
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
@@ -893,8 +1161,16 @@ object Analytics {
   }
 
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 10,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      localCutoff: Int = SmallGraphCutoff): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    localRankProbe(edges, localCutoff).foreach { case (ix, ea, eb) =>
+      val ranks = localRank(ix.n, ea, eb, iters, scale,
+        seedMask = null) // all nodes seeded with `scale` (global PR)
+      val spark = edges.sparkSession
+      return localIdValueDf(spark, ix, ranks,
+        edges.schema("src").dataType, "node", "rank")
+    }
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint(true)

@@ -83,11 +83,61 @@ object QualityTrain {
   /** Full-batch GD. `labelCol` must be 0/1 (castable to double). */
   def train(docs: DataFrame, textCol: String, labelCol: String,
       idCol: String = "doc_id", dim: Int = 1 << 12, iters: Int = 20,
-      lr: Double = 2.0, salt: String = "qtrain"): Model = {
+      lr: Double = 2.0, salt: String = "qtrain",
+      localCutoff: Int = 100000): Model = {
     require(dim > 0 && dim <= (1 << 22), s"dim out of range: $dim")
     val spark = docs.sparkSession
     val features = featurize(docs, textCol, labelCol, idCol, dim, salt)
       .localCheckpoint(true)
+
+    // Size-adaptive driver fast path (the Components/Analytics pattern):
+    // full-batch GD is iters sequential Spark jobs of pure scheduler
+    // latency when the FEATURIZED table (one compact row per doc, text
+    // already dropped) fits the driver. One bounded take gates it; the
+    // epoch arithmetic below is the same per-doc margin/residual/loss
+    // kernel, and gradient summation order differs only within the
+    // documented float-reduce nondeterminism this operator already
+    // carries (witness-checked, not oracled — scaladoc above). The
+    // distributed epoch loop is unchanged above the cutoff.
+    val probe = if (localCutoff > 0) features.take(localCutoff + 1)
+      else Array.empty[Row]
+    if (localCutoff > 0 && probe.length <= localCutoff) {
+      val nDocs = probe.length.toDouble
+      require(nDocs > 0, "no non-empty documents to train on")
+      val bks = probe.map(_.getAs[collection.Seq[Int]]("buckets").toArray)
+      val tfs = probe.map(_.getAs[collection.Seq[Double]]("tfs").toArray)
+      val ys = probe.map(_.getAs[Double]("y"))
+      val w = new Array[Double](dim)
+      var b = 0.0
+      val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+      for (_ <- 1 to iters) {
+        val grad = new Array[Double](dim)
+        var biasGrad = 0.0
+        var epochLoss = 0.0
+        var d = 0
+        while (d < probe.length) {
+          val bk = bks(d); val tf = tfs(d); val y = ys(d)
+          var z = b
+          var i = 0
+          while (i < bk.length) { z += w(bk(i)) * tf(i); i += 1 }
+          val p = sigmoid(z)
+          val r = p - y
+          val eps = 1e-12
+          epochLoss += -(y * math.log(p.max(eps)) +
+            (1.0 - y) * math.log((1.0 - p).max(eps)))
+          i = 0
+          while (i < bk.length) { grad(bk(i)) += r * tf(i); i += 1 }
+          biasGrad += r
+          d += 1
+        }
+        var i = 0
+        while (i < dim) { w(i) -= lr * grad(i) / nDocs; i += 1 }
+        b -= lr * biasGrad / nDocs
+        losses += epochLoss / nDocs
+      }
+      return Model(dim, salt, b, w, losses.toSeq)
+    }
+
     val nDocs = features.count().toDouble
     require(nDocs > 0, "no non-empty documents to train on")
 

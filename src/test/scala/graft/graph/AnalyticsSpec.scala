@@ -289,6 +289,43 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("driver fast path equals the distributed kernels bit-for-bit " +
+      "(pagerank, ppr, bfs, label propagation; long AND string ids)") {
+    val edges = seededEdges(60, 10, seed = 0xfeedL)
+    // directed multigraph: duplicate a slice so multiplicity semantics
+    // (pagerank out-degree, neighbor messages) are actually exercised
+    val dup = edges ++ edges.take(20)
+    def check(edf: org.apache.spark.sql.DataFrame,
+        sdf: org.apache.spark.sql.DataFrame): Unit = {
+      val prF = Analytics.pageRankFixedPoint(edf, iters = 6)
+        .collect().map(r => (r.get(0), r.getLong(1))).toMap
+      val prD = Analytics.pageRankFixedPoint(edf, iters = 6, localCutoff = 0)
+        .collect().map(r => (r.get(0), r.getLong(1))).toMap
+      assert(prF == prD)
+      val ppF = Analytics.personalizedPageRank(edf, sdf, iters = 4)
+        .collect().map(r => (r.get(0), r.getLong(1))).toMap
+      val ppD = Analytics.personalizedPageRank(edf, sdf, iters = 4,
+        localCutoff = 0).collect().map(r => (r.get(0), r.getLong(1))).toMap
+      assert(ppF == ppD)
+      val bfF = Analytics.bfsDistances(edf, sdf, maxHops = 3)
+        .collect().map(r => (r.get(0), r.getLong(1))).toMap
+      val bfD = Analytics.bfsDistances(edf, sdf, maxHops = 3, localCutoff = 0)
+        .collect().map(r => (r.get(0), r.getLong(1))).toMap
+      assert(bfF == bfD)
+      val lpF = Analytics.labelPropagation(edf, rounds = 4)
+        .collect().map(r => (r.get(0), r.get(1))).toMap
+      val lpD = Analytics.labelPropagation(edf, rounds = 4, localCutoff = 0)
+        .collect().map(r => (r.get(0), r.get(1))).toMap
+      assert(lpF == lpD)
+    }
+    // long ids (999 = seed outside the edge universe, ignored by PPR,
+    // dist 0 in BFS on both paths)
+    check(dup.toDF("src", "dst"), Seq(0L, 3L, 999L).toDF("node"))
+    // string ids through the same kernels
+    check(dup.map { case (a, b) => (s"n$a", s"n$b") }.toDF("src", "dst"),
+      Seq("n0", "n3", "nope").toDF("node"))
+  }
+
   test("kCore: empty core and fail-loud non-convergence guard") {
     // a path graph has no 2-core
     val path = (1L to 6L).sliding(2).map(s => (s.head, s.last)).toSeq

@@ -45,6 +45,27 @@ class QualityTrainSpec extends SparkSpec {
     assert(acc == 1.0, s"planted signal must separate perfectly, got $acc")
   }
 
+  test("distributed epoch loop (localCutoff = 0) recovers the planted " +
+      "signal like the driver fast path; losses agree to float-reduce " +
+      "tolerance") {
+    val docs = planted(120).toDF("doc_id", "text", "y")
+    val dist = QualityTrain.train(docs, "text", "y",
+      dim = 256, iters = 25, lr = 5.0, localCutoff = 0)
+    val fast = QualityTrain.train(docs, "text", "y",
+      dim = 256, iters = 25, lr = 5.0)
+    // both paths: monotone loss and perfect separation on the plant
+    assert(dist.lossPerEpoch.sliding(2).forall(p => p(1) < p(0)))
+    val acc = QualityTrain.scoreWith(docs, dist, "text")
+      .join(docs.select("doc_id", "y"), "doc_id")
+      .select(avg((col("keep") === (col("y") === 1)).cast("double")))
+      .as[Double].head()
+    assert(acc == 1.0, s"distributed path must separate the plant, got $acc")
+    // same arithmetic up to float summation order: per-epoch losses agree
+    dist.lossPerEpoch.zip(fast.lossPerEpoch).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"loss diverged: $a vs $b")
+    }
+  }
+
   test("signal tokens carry the extreme weights") {
     val docs = planted(200).toDF("doc_id", "text", "y")
     val model = QualityTrain.train(docs, "text", "y",
