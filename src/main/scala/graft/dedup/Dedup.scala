@@ -703,6 +703,39 @@ object Dedup {
     * whitespace-free tokens is injective — same argument as
     * `ngramJaccardNearDups`'s oracle).
     */
+  /** Flag-only arm of benchmark decontamination: (doc_id) rows for the
+    * documents sharing ≥ 1 `k`-gram with the benchmark — EXACTLY the
+    * doc set `decontaminate` emits (its n_shared ≥ 1 filter), without
+    * the per-doc counts. The benchmark's distinct shingle hashes are
+    * collected and broadcast as a flat sorted array (8 B/shingle —
+    * eval suites are small by construction; the crawl-vs-everything
+    * direction keeps the Bloom arm) and each corpus document answers
+    * with one map-side binary-searched exists() — no corpus-shingle
+    * explode, no per-doc aggregation exchange (guide §2.4/§3.2: the
+    * consumer that only needs the decision shuffles nothing). Used by
+    * the curation funnel's stage 4, whose decision column is the only
+    * thing it consumes; DecontaminateSpec pins set-equality with the
+    * counting arm.
+    */
+  def contaminatedDocs(corpusIn: DataFrame, benchmark: DataFrame,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
+    val spark = corpusIn.sparkSession
+    val corpus = graft.core.SparkUtil.spread(corpusIn)
+    val shSet = udf((t: String) => TextHash.shingleHashSet(t, k))
+    import spark.implicits._
+    val bench: Array[Long] = benchmark
+      .select(explode(shSet(col("text"))).as("sh")).distinct()
+      .as[Long].collect().sorted
+    val bc = spark.sparkContext.broadcast(bench)
+    val hit = udf { (t: String) =>
+      val arr = bc.value
+      TextHash.shingleHashSet(t, k)
+        .exists(h => java.util.Arrays.binarySearch(arr, h) >= 0)
+    }
+    corpus.filter(hit(col("text"))).select(col("doc_id"))
+  }
+
   def decontaminate(corpusIn: DataFrame, benchmark: DataFrame,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"need k >= 1, got k=$k")

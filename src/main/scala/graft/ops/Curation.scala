@@ -99,8 +99,12 @@ object Curation {
     // normalized-text equality, same argument as Dedup.exact's oracle)
     val reps = flags.groupBy("fp").agg(min("doc_id").as("rep_id"))
 
-    // stage 4 — benchmark decontamination (broadcast shingle probe)
-    val cont = Dedup.decontaminate(corpus, benchmark, decontamK)
+    // stage 4 — benchmark decontamination: the funnel consumes only the
+    // FLAG, so the flag-only arm applies — one map-side broadcast-set
+    // probe, no corpus-shingle explode, no per-doc aggregation exchange
+    // (doc set identical to `decontaminate`'s n_shared >= 1 output;
+    // DecontaminateSpec pins the equality)
+    val cont = Dedup.contaminatedDocs(corpus, benchmark, decontamK)
       .select(col("doc_id"), lit(true).as("contaminated"))
 
     val pre = SparkUtil.materializeOnce(

@@ -59,6 +59,39 @@ class DedupSpec extends SparkSpec {
       s"bench shingles must broadcast:\n${plan.take(1500)}")
   }
 
+  test("contaminatedDocs (flag-only arm) emits exactly the counting " +
+      "arm's doc set — handmade and shared-vocabulary corpora") {
+    val bench = Seq(
+      (1000L, "alpha beta gamma delta"),
+      (1001L, "solo")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma zeta"),
+      (2L, "zeta eta theta iota"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "solo"),
+      (5L, "")                        // blank: empty shingle set, clean
+    ).toDF("doc_id", "text")
+    val flag = Dedup.contaminatedDocs(corpus, bench, k = 3)
+      .as[Long].collect().toSet
+    val count = Dedup.decontaminate(corpus, bench, k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flag == count && flag == Set(1L, 3L, 4L))
+    // larger shared-vocabulary slice: same equality
+    val bench2 = docsDf.filter(col("doc_id") % 5 === 0)
+    val corpus2 = docsDf.filter(col("doc_id") % 5 =!= 0)
+    val f2 = Dedup.contaminatedDocs(corpus2, bench2, k = 3)
+      .as[Long].collect().toSet
+    val c2 = Dedup.decontaminate(corpus2, bench2, k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(f2 == c2)
+    // map-side shape: no join, no aggregation in the plan
+    val plan = Dedup.contaminatedDocs(corpus2, bench2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"flag arm must stay a map pass:\n$plan")
+  }
+
   test("decontaminateBloom: superset of exact arm, n_shared upper bound, " +
       "shingle FPR within sizing, no join in the plan") {
     // contaminated slice: every 5th doc of the shared-vocabulary corpus is
